@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+The ambient environment points JAX at the remote TPU (JAX_PLATFORMS=axon),
+where per-op eager dispatch is a network round trip.  Tests are correctness
+tests and always run on the local CPU backend with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+A pytest plugin imports jax before this conftest runs, so the env var alone
+is latched too late — use jax.config.update, which works until the backend
+is actually initialized.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert jax.device_count() == 8

@@ -1,0 +1,98 @@
+"""Golden tests: binary-spectrum delay estimator vs the C reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from webrtc_aecm_tpu import delay_estimator as de
+from .oracle import get_oracle
+
+
+def _make_spectra(rng, n_blocks, delay_blocks):
+    """Far spectra stream and a near stream = far delayed by delay_blocks."""
+    far = rng.integers(0, 4000, size=(n_blocks + delay_blocks, 65)).astype(np.uint16)
+    near = far[:n_blocks]                     # near lags far by `delay_blocks`
+    far_stream = far[delay_blocks:delay_blocks + n_blocks]
+    # far_stream[t] corresponds to near[t + delay]; i.e. the far signal seen
+    # at block t equals the near content that will show up `delay` later.
+    return far_stream, near
+
+
+def _run_reference(o, far_stream, near_stream, far_q, near_q, robust=0):
+    lib = o.lib
+    farend = lib.ref_CreateDelayEstimatorFarend(65, 100)
+    est = lib.ref_CreateDelayEstimator(farend, 0)
+    lib.ref_InitDelayEstimatorFarend(farend)
+    lib.ref_InitDelayEstimator(est)
+    lib.ref_enable_robust_validation(est, robust)
+    delays = []
+    for f, n in zip(far_stream, near_stream):
+        assert lib.ref_AddFarSpectrumFix(farend, np.ascontiguousarray(f), 65,
+                                         far_q) == 0
+        delays.append(lib.ref_DelayEstimatorProcessFix(
+            est, np.ascontiguousarray(n), 65, near_q))
+    lib.ref_FreeDelayEstimator(est)
+    lib.ref_FreeDelayEstimatorFarend(farend)
+    return np.array(delays)
+
+
+def _run_ours(far_stream, near_stream, far_q, near_q, robust=False):
+    farend = de.create_farend()
+    near = de.create_near()
+
+    @jax.jit
+    def step(carry, inputs):
+        farend, near = carry
+        f, n = inputs
+        farend = de.add_far_spectrum_fix(farend, f, jnp.int32(far_q))
+        near, delay = de.process_fix(near, farend, n, jnp.int32(near_q),
+                                     robust_validation=robust)
+        return (farend, near), delay
+
+    (_, _), delays = jax.lax.scan(
+        step, (farend, near),
+        (jnp.asarray(far_stream.astype(np.int32)),
+         jnp.asarray(near_stream.astype(np.int32))))
+    return np.asarray(delays)
+
+
+def test_delay_estimator_matches_reference_shifted_stream():
+    o = get_oracle()
+    rng = np.random.default_rng(42)
+    for delay in (0, 3, 17, 60):
+        far, near = _make_spectra(rng, 400, delay)
+        ref = _run_reference(o, far, near, 8, 8)
+        ours = _run_ours(far, near, 8, 8)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"delay={delay}")
+
+
+def test_delay_estimator_matches_reference_random_streams():
+    """Uncorrelated streams: exercises the no-valid-candidate paths."""
+    o = get_oracle()
+    rng = np.random.default_rng(7)
+    far = rng.integers(0, 3000, size=(300, 65)).astype(np.uint16)
+    near = rng.integers(0, 3000, size=(300, 65)).astype(np.uint16)
+    ref = _run_reference(o, far, near, 5, 11)
+    ours = _run_ours(far, near, 5, 11)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_delay_estimator_matches_reference_weak_farend():
+    """Mostly-zero far end: exercises stationary-farend freeze paths."""
+    o = get_oracle()
+    rng = np.random.default_rng(8)
+    far = rng.integers(0, 2, size=(200, 65)).astype(np.uint16)
+    far[::3] = 0
+    near = rng.integers(0, 3000, size=(200, 65)).astype(np.uint16)
+    ref = _run_reference(o, far, near, 0, 0)
+    ours = _run_ours(far, near, 0, 0)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_delay_estimator_robust_validation_matches_reference():
+    o = get_oracle()
+    rng = np.random.default_rng(9)
+    for delay in (5, 40):
+        far, near = _make_spectra(rng, 400, delay)
+        ref = _run_reference(o, far, near, 8, 8, robust=1)
+        ours = _run_ours(far, near, 8, 8, robust=True)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"delay={delay}")

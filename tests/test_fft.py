@@ -1,0 +1,72 @@
+"""Golden tests: bit-exact int16 FFT pair vs the compiled C reference,
+including the data-dependent per-stage IFFT scaling (complex_fft.c:382-396).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from webrtc_aecm_tpu.ops import fft
+from .oracle import get_oracle
+
+
+def _random_int16(rng, n, lo=-32768, hi=32768):
+    return rng.integers(lo, hi, size=n).astype(np.int16)
+
+
+def test_real_forward_fft_matches_reference():
+    o = get_oracle()
+    rng = np.random.default_rng(10)
+    for trial in range(50):
+        # Windowed inputs are <= Q14-scaled; test both small and full range.
+        hi = 32768 if trial % 2 else 4096
+        x = _random_int16(rng, 128, -hi, hi)
+        ref, _ = o.real_forward_fft(x)
+        re, im = fft.real_forward_fft(jnp.asarray(x, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(re), ref[:, 0],
+                                      err_msg=f"trial {trial} real")
+        np.testing.assert_array_equal(np.asarray(im), ref[:, 1],
+                                      err_msg=f"trial {trial} imag")
+
+
+def test_real_inverse_fft_matches_reference():
+    o = get_oracle()
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        hi = 32768 if trial % 2 else 1024
+        ccs = _random_int16(rng, 130, -hi, hi)
+        ref_out, ref_scale = o.real_inverse_fft(ccs)
+        re = jnp.asarray(ccs[0::2].astype(np.int32))
+        im = jnp.asarray(ccs[1::2].astype(np.int32))
+        out, scale = fft.real_inverse_fft(re, im)
+        assert int(scale) == ref_scale, f"trial {trial} scale"
+        np.testing.assert_array_equal(np.asarray(out), ref_out,
+                                      err_msg=f"trial {trial}")
+
+
+def test_forward_fft_batched_equals_loop():
+    rng = np.random.default_rng(12)
+    xs = rng.integers(-32768, 32768, size=(16, 128)).astype(np.int32)
+    re_b, im_b = fft.real_forward_fft(jnp.asarray(xs))
+    for i in range(16):
+        re, im = fft.real_forward_fft(jnp.asarray(xs[i]))
+        np.testing.assert_array_equal(np.asarray(re_b[i]), np.asarray(re))
+        np.testing.assert_array_equal(np.asarray(im_b[i]), np.asarray(im))
+
+
+def test_inverse_fft_vmap_scaling_is_per_stream():
+    """Each stream must get its own data-dependent IFFT scaling."""
+    rng = np.random.default_rng(13)
+    big = rng.integers(-32768, 32768, size=130).astype(np.int16)
+    small = rng.integers(-256, 256, size=130).astype(np.int16)
+    o = get_oracle()
+    _, s_big = o.real_inverse_fft(big)
+    _, s_small = o.real_inverse_fft(small)
+    assert s_big != s_small  # the point of the test
+
+    res = jnp.stack([jnp.asarray(big[0::2], jnp.int32),
+                     jnp.asarray(small[0::2], jnp.int32)])
+    ims = jnp.stack([jnp.asarray(big[1::2], jnp.int32),
+                     jnp.asarray(small[1::2], jnp.int32)])
+    out, scale = jax.vmap(fft.real_inverse_fft)(res, ims)
+    assert int(scale[0]) == s_big
+    assert int(scale[1]) == s_small

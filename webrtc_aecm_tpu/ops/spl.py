@@ -1,0 +1,222 @@
+"""Fixed-point SPL primitives, re-built as vectorized JAX ops.
+
+This is the TPU-native equivalent of the reference's fixed-point signal
+processing library (reference: aecm/signal_processing_library.{h,cc},
+aecm/spl_inl.h).  Every op here is elementwise / reduction-style jnp code
+on int32 / uint32 arrays, designed to reproduce the exact C integer
+semantics (two's-complement wrap, arithmetic shifts of negatives,
+truncating division) so that downstream Q-domain arithmetic is
+bit-faithful to the reference.
+
+Conventions:
+  * "w16" values are stored as int32 constrained to [-32768, 32767];
+    `to_w16` applies the C `(int16_t)` wrap-around cast.
+  * "u32"/"w32" values use jnp.uint32 / jnp.int32 respectively; JAX
+    integer arithmetic wraps modulo 2^32, matching the hardware behavior
+    the reference relies on.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+WORD16_MAX = 32767
+WORD16_MIN = -32768
+WORD32_MAX = 0x7FFFFFFF
+WORD32_MIN = -0x80000000
+
+
+def i32(x):
+    return jnp.asarray(x, dtype=I32)
+
+
+def u32(x):
+    return jnp.asarray(x, dtype=U32)
+
+
+def to_w16(x):
+    """C `(int16_t)` cast: keep low 16 bits, sign-extend (wrap-around)."""
+    x = jnp.asarray(x)
+    if x.dtype == U32:
+        x = x.astype(I32)
+    return ((x.astype(I32) + 0x8000) & 0xFFFF) - 0x8000
+
+
+def sat_w16(x):
+    """WebRtcSpl_SatW32ToW16 (spl_inl.h:59-68): clamp int32 to int16 range."""
+    return jnp.clip(x.astype(I32), WORD16_MIN, WORD16_MAX)
+
+
+def add_sat_w16(a, b):
+    """WebRtcSpl_AddSatW16 (spl_inl.h:84-86)."""
+    return sat_w16(a.astype(I32) + b.astype(I32))
+
+
+def add_sat_w32(a, b):
+    """WebRtcSpl_AddSatW32 (spl_inl.h:70-82): saturating int32 addition."""
+    a = a.astype(I32)
+    b = b.astype(I32)
+    s = (a.astype(U32) + b.astype(U32)).astype(I32)
+    overflow = ((a < 0) == (b < 0)) & ((a < 0) != (s < 0))
+    sat = jnp.where(s < 0, I32(WORD32_MAX), I32(WORD32_MIN))
+    return jnp.where(overflow, sat, s)
+
+
+def clz32(x):
+    """WebRtcSpl_CountLeadingZeros32 (spl_inl.h:40-47): leading zeros of u32."""
+    y = x.astype(U32)
+    y = y | (y >> 1)
+    y = y | (y >> 2)
+    y = y | (y >> 4)
+    y = y | (y >> 8)
+    y = y | (y >> 16)
+    return (32 - jax.lax.population_count(y).astype(I32)).astype(I32)
+
+
+def norm_w32(a):
+    """WebRtcSpl_NormW32 (spl_inl.h:96-98): left-shift headroom of int32."""
+    a = a.astype(I32)
+    masked = jnp.where(a < 0, ~a, a)
+    return jnp.where(a == 0, I32(0), clz32(masked.astype(U32)) - 1)
+
+
+def norm_u32(a):
+    """WebRtcSpl_NormU32 (spl_inl.h:102-104)."""
+    a = a.astype(U32)
+    return jnp.where(a == 0, I32(0), clz32(a))
+
+
+def norm_w16(a):
+    """WebRtcSpl_NormW16 (spl_inl.h:108-111)."""
+    a32 = a.astype(I32)
+    masked = jnp.where(a32 < 0, ~a32, a32)
+    return jnp.where(a32 == 0, I32(0), clz32(masked.astype(U32)) - 17)
+
+
+def shift_w32(x, c):
+    """WEBRTC_SPL_SHIFT_W32 (signal_processing_library.h:130).
+
+    Positive c => left shift (via multiply, wrapping), negative => arithmetic
+    right shift.  Works on int32 or uint32 inputs, preserving dtype semantics.
+    """
+    x = jnp.asarray(x)
+    c = jnp.asarray(c, dtype=I32)
+    cpos = jnp.maximum(c, 0).astype(x.dtype if x.dtype == U32 else I32)
+    cneg = jnp.maximum(-c, 0)
+    if x.dtype == U32:
+        left = x * (U32(1) << cpos.astype(U32))
+        right = x >> cneg.astype(U32)
+    else:
+        x = x.astype(I32)
+        left = (x.astype(U32) << cpos.astype(U32)).astype(I32)
+        right = x >> cneg
+    return jnp.where(c >= 0, left, right)
+
+
+def div_trunc(num, den):
+    """C integer division: truncation toward zero (num/den, den != 0)."""
+    num = num.astype(I32)
+    den = den.astype(I32)
+    q = num // den  # floor division
+    r = num - q * den
+    # Floor and trunc differ when remainder non-zero and signs differ.
+    adjust = (r != 0) & ((num < 0) != (den < 0))
+    return jnp.where(adjust, q + 1, q)
+
+
+def div_w32_w16(num, den):
+    """WebRtcSpl_DivW32W16 (signal_processing_library.cc:116-123)."""
+    den = den.astype(I32)
+    safe = jnp.where(den == 0, I32(1), den)
+    return jnp.where(den == 0, I32(WORD32_MAX), div_trunc(num, safe))
+
+
+def div_u32_u16(num, den):
+    """WebRtcSpl_DivU32U16 (signal_processing_library.cc:107-114)."""
+    num = num.astype(U32)
+    den = den.astype(U32)
+    safe = jnp.where(den == 0, U32(1), den)
+    return jnp.where(den == 0, U32(0xFFFFFFFF), num // safe)
+
+
+def sqrt_floor(value):
+    """WebRtcSpl_SqrtFloor (signal_processing_library.cc:84-105).
+
+    16-step successive approximation, vectorized: each of the 16 iterations
+    is an elementwise select, unrolled at trace time.
+    """
+    value = value.astype(I32)
+    root = jnp.zeros_like(value)
+    for n in range(15, -1, -1):
+        try1 = root + (1 << n)
+        shifted = (try1.astype(U32) << U32(n)).astype(I32)
+        take = value >= shifted
+        value = jnp.where(take, value - shifted, value)
+        root = jnp.where(take, root | (2 << n), root)
+    return root >> 1
+
+
+def max_abs_value_w16(vector):
+    """WebRtcSpl_MaxAbsValueW16C (signal_processing_library.cc:154-174).
+
+    abs(-32768) participates as 32768 but the return value is clamped to
+    32767.  Reduces over the last axis.
+    """
+    absolute = jnp.abs(vector.astype(I32))
+    return jnp.minimum(jnp.max(absolute, axis=-1), I32(WORD16_MAX))
+
+
+# --- LCG random generator (signal_processing_library.cc:126-147) ------------
+#
+# seed' = (seed * 69069 + 1) mod 2^31;  RandU returns (int16)(seed' >> 16).
+# The reference draws PART_LEN values sequentially per block; we use the
+# affine closure of the LCG so all N draws come out of one vectorized op:
+#   seed_n = (A_n * seed_0 + C_n) mod 2^31, with A_n = 69069^n, and
+#   C_n = (69069^n - 1) / (69069 - 1)  (precomputed mod 2^32; truncating the
+# intermediate products to 32 bits is exact for mod-2^31 results).
+
+_LCG_A = 69069
+_LCG_MASK = 0x7FFFFFFF
+
+
+def _lcg_tables(n):
+    a_pow = []
+    c_acc = []
+    a, c = 1, 0
+    for _ in range(n):
+        a = (a * _LCG_A) & 0xFFFFFFFF
+        c = (c * _LCG_A + 1) & 0xFFFFFFFF
+        a_pow.append(a)
+        c_acc.append(c)
+    return (jnp.array(a_pow, dtype=U32), jnp.array(c_acc, dtype=U32))
+
+
+_LCG_TABLE_CACHE = {}
+
+
+def rand_u_array(seed, n):
+    """WebRtcSpl_RandUArray: n sequential RandU draws, vectorized.
+
+    Args:
+      seed: uint32 scalar (state), already masked to 31 bits.
+      n: static int, number of draws.
+    Returns:
+      (values, new_seed): values int32 in [0, 32767] of shape (n,) —
+      these are the (int16)(seed >> 16) outputs — and the updated seed.
+    """
+    if n not in _LCG_TABLE_CACHE:
+        _LCG_TABLE_CACHE[n] = _lcg_tables(n)
+    a_pow, c_acc = _LCG_TABLE_CACHE[n]
+    seed = seed.astype(U32)
+    seeds = (a_pow * seed + c_acc) & U32(_LCG_MASK)
+    values = (seeds >> U32(16)).astype(I32)
+    return values, seeds[-1]
+
+
+def rand_u(seed):
+    """Single WebRtcSpl_RandU draw."""
+    new_seed = (seed.astype(U32) * U32(_LCG_A) + U32(1)) & U32(_LCG_MASK)
+    return (new_seed >> U32(16)).astype(I32), new_seed
