@@ -1,0 +1,20 @@
+"""webrtc_aecm_tpu: a TPU-native acoustic echo canceller (mobile) framework.
+
+A from-scratch JAX/XLA rebuild of the WebRTC AECM capability
+(reference: cpuimage/WebRTC_AECM): fixed-point frequency-domain echo
+suppression over 10 ms frames at 8/16 kHz, bit-faithful to the C reference,
+with batching via `vmap`, streaming via `lax.scan`, and multi-chip scaling
+via `jax.sharding`.
+"""
+from . import api
+from . import control
+from . import core
+from . import defines
+from . import delay_estimator
+from .api import AecmInstance, AecmState
+
+__all__ = [
+    "api", "control", "core", "defines", "delay_estimator",
+    "AecmInstance", "AecmState",
+]
+__version__ = "0.1.0"

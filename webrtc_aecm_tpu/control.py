@@ -1,0 +1,314 @@
+"""Public control layer: buffering, startup governance, configuration.
+
+TPU-native rebuild of the reference echo-control-mobile layer
+(reference: aecm/echo_control_mobile.{h,cc}).
+
+The C layer is an opaque-handle API around a far-end jitter ring, a
+sound-card-stability startup state machine, and buffer-delay governance.
+Here it is a pure-functional state pytree (`AecmState`) with
+`buffer_farend(state, frame) -> state` and
+`process(state, near, clean?, ms) -> (state, out, warn)` as single jitted
+steps.  Every branch of the startup machine is a scalar select, so the whole
+call — startup or enabled — is one traced graph that batches under `vmap`
+and shards with `jax.sharding` across chips.
+
+Host-side argument validation (NULL/size/init checks,
+echo_control_mobile.cc:195-278) lives in api.py at the Python boundary;
+everything data-dependent (clamping, startup, delay governance) is in-graph
+so a jitted step never faults.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core as core_mod
+from . import defines as D
+from .ops import ring_buffer as rbuf, spl
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+class AecmState(NamedTuple):
+    """AecMobile (echo_control_mobile.cc:42-79) as a pytree."""
+    core: core_mod.CoreState
+    farend_buf: rbuf.RingBuffer        # 4000-sample jitter ring
+    farend_old: jnp.ndarray            # (2, FRAME_LEN) underrun replay frames
+    # startup / buffer-size governance
+    ec_startup: jnp.ndarray
+    check_buff_size: jnp.ndarray
+    check_buf_size_ctr: jnp.ndarray
+    counter: jnp.ndarray
+    sum: jnp.ndarray
+    first_val: jnp.ndarray
+    buf_size_start: jnp.ndarray
+    # delay governance
+    ms_in_sndcard_buf: jnp.ndarray
+    filt_delay: jnp.ndarray
+    time_for_delay_change: jnp.ndarray
+    known_delay: jnp.ndarray
+    last_delay_diff: jnp.ndarray
+    delay_change: jnp.ndarray
+    echo_mode: jnp.ndarray
+
+
+# echoMode 0-4 -> suppression-gain parameter rows
+# (echo_control_mobile.cc:431-476): shifts of the SUPGAIN_* constants.
+def _supgain_table():
+    rows = []
+    for mode in range(5):
+        shift = {0: -3, 1: -2, 2: -1, 3: 0, 4: 1}[mode]
+
+        def s(v):
+            return v << shift if shift >= 0 else v >> -shift
+
+        a = s(D.SUPGAIN_ERROR_PARAM_A)
+        b = s(D.SUPGAIN_ERROR_PARAM_B)
+        d = s(D.SUPGAIN_ERROR_PARAM_D)
+        default = s(D.SUPGAIN_DEFAULT)
+        rows.append([default, a, d, a - b, b - d])
+    return jnp.asarray(np.array(rows, dtype=np.int32))
+
+
+_SUPGAIN_TABLE = _supgain_table()
+
+
+def create(sample_rate: int = 8000) -> AecmState:
+    """WebRtcAecm_Create + WebRtcAecm_Init (echo_control_mobile.cc:89-191).
+
+    sample_rate is static; the default config {cngMode=on, echoMode=3}
+    (echo_control_mobile.cc:183-184) is applied.
+    """
+    state = AecmState(
+        core=core_mod.create_core(sample_rate),
+        farend_buf=rbuf.create(D.BUF_SIZE_SAMP),
+        farend_old=jnp.zeros((2, D.FRAME_LEN), I32),
+        ec_startup=I32(1),
+        check_buff_size=I32(1),
+        check_buf_size_ctr=I32(0),
+        counter=I32(0),
+        sum=I32(0),
+        first_val=I32(0),
+        buf_size_start=I32(0),
+        ms_in_sndcard_buf=I32(0),
+        filt_delay=I32(0),
+        time_for_delay_change=I32(0),
+        known_delay=I32(0),
+        last_delay_diff=I32(0),
+        delay_change=I32(1),
+        echo_mode=I32(3),
+    )
+    return set_config(state, cng_mode=1, echo_mode=3)
+
+
+def set_config(state: AecmState, cng_mode, echo_mode) -> AecmState:
+    """WebRtcAecm_set_config (echo_control_mobile.cc:410-479).
+
+    cng_mode/echo_mode are data (traced), so reconfiguration does not
+    recompile the step.
+    """
+    echo_mode = jnp.asarray(echo_mode, I32)
+    row = _SUPGAIN_TABLE[jnp.clip(echo_mode, 0, 4)]
+    core = state.core._replace(
+        cng_mode=jnp.asarray(cng_mode, I32),
+        sup_gain=row[0],
+        sup_gain_old=row[0],
+        sup_gain_err_param_a=row[1],
+        sup_gain_err_param_d=row[2],
+        sup_gain_err_param_diff_ab=row[3],
+        sup_gain_err_param_diff_bd=row[4],
+    )
+    return state._replace(core=core, echo_mode=echo_mode)
+
+
+def get_echo_path(state: AecmState):
+    """WebRtcAecm_GetEchoPath (echo_control_mobile.cc:506-528)."""
+    return state.core.channel_stored
+
+
+def init_echo_path(state: AecmState, echo_path) -> AecmState:
+    """WebRtcAecm_InitEchoPath (echo_control_mobile.cc:481-504)."""
+    return state._replace(core=core_mod.init_echo_path(state.core, echo_path))
+
+
+def _delay_comp(state: AecmState, mult: int) -> AecmState:
+    """WebRtcAecm_DelayComp (echo_control_mobile.cc:575-594)."""
+    n_samp_far = rbuf.available_read(state.farend_buf)
+    n_samp_sndcard = state.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
+    delay_new = n_samp_sndcard - n_samp_far
+    stuff = delay_new > (D.FAR_BUF_LEN - D.FRAME_LEN * mult)
+    n_samp_add = jnp.maximum((n_samp_sndcard >> 1) - n_samp_far,
+                             I32(D.FRAME_LEN))
+    n_samp_add = jnp.minimum(n_samp_add, I32(10 * D.FRAME_LEN))
+    farend_buf = rbuf.move_read_ptr(
+        state.farend_buf, jnp.where(stuff, -n_samp_add, I32(0)))
+    delay_change = jnp.where(stuff, I32(1), state.delay_change)
+    return state._replace(farend_buf=farend_buf, delay_change=delay_change)
+
+
+def buffer_farend(state: AecmState, farend, mult: int = 1) -> AecmState:
+    """WebRtcAecm_BufferFarend (echo_control_mobile.cc:215-234).
+
+    farend: (80,) or (160,) int32 samples (static length).
+    """
+    comped = _delay_comp(state, mult)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(state.ec_startup == 0, a, b), comped, state)
+    return state._replace(farend_buf=rbuf.write(state.farend_buf, farend))
+
+
+def _est_buf_delay(state: AecmState, mult: int) -> AecmState:
+    """WebRtcAecm_EstBufDelay (echo_control_mobile.cc:534-573)."""
+    n_samp_far = rbuf.available_read(state.farend_buf)
+    n_samp_sndcard = state.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
+    delay_new = n_samp_sndcard - n_samp_far
+
+    shortfall = delay_new < D.FRAME_LEN
+    farend_buf = rbuf.move_read_ptr(
+        state.farend_buf, jnp.where(shortfall, I32(D.FRAME_LEN), I32(0)))
+    delay_new = jnp.where(shortfall, delay_new + D.FRAME_LEN, delay_new)
+
+    filt_delay = jnp.maximum(
+        I32(0), spl.div_trunc(8 * state.filt_delay + 2 * delay_new, I32(10)))
+
+    diff = filt_delay - state.known_delay
+    inc_hi = jnp.where(state.last_delay_diff < 96, I32(0),
+                       state.time_for_delay_change + 1)
+    inc_lo = jnp.where(state.last_delay_diff > 224, I32(0),
+                       state.time_for_delay_change + 1)
+    time_for_delay_change = jnp.where(
+        diff > 224, inc_hi,
+        jnp.where((diff < 96) & (state.known_delay > 0), inc_lo, I32(0)))
+
+    known_delay = jnp.where(time_for_delay_change > 25,
+                            jnp.maximum(filt_delay - 160, I32(0)),
+                            state.known_delay)
+    return state._replace(farend_buf=farend_buf, filt_delay=filt_delay,
+                          time_for_delay_change=time_for_delay_change,
+                          known_delay=known_delay, last_delay_diff=diff)
+
+
+def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
+            ms_in_sndcard_buf, sample_rate: int):
+    """WebRtcAecm_Process (echo_control_mobile.cc:236-408).
+
+    Args:
+      nearend_noisy: (out_len,) int32 samples; out_len in {80, 160} (static).
+      nearend_clean: optional (out_len,) int32 or None (static presence).
+      ms_in_sndcard_buf: int32 scalar, clamped in-graph to [0, 500] + 10.
+      sample_rate: static 8000/16000.
+    Returns (state, out (out_len,), warning int32).
+    """
+    mult = sample_rate // 8000
+    n_frames = out_len // D.FRAME_LEN
+    n_blocks_10ms = n_frames // mult
+    has_clean = nearend_clean is not None
+
+    ms = jnp.asarray(ms_in_sndcard_buf, I32)
+    warn = jnp.where((ms < 0) | (ms > 500),
+                     I32(D.AECM_BAD_PARAMETER_WARNING), I32(0))
+    ms = jnp.clip(ms, 0, 500) + 10
+    state = state._replace(ms_in_sndcard_buf=ms)
+
+    # ---------------- startup branch ----------------
+    def startup(state: AecmState):
+        out = nearend_clean if has_clean else nearend_noisy
+        filled = (rbuf.available_read(state.farend_buf)
+                  // D.FRAME_LEN).astype(I32)
+
+        def check_size(state: AecmState) -> AecmState:
+            ctr = state.check_buf_size_ctr + 1
+            first_val = jnp.where(state.counter == 0, state.ms_in_sndcard_buf,
+                                  state.first_val)
+            acc = jnp.where(state.counter == 0, I32(0), state.sum)
+            thresh = jnp.maximum(
+                F32(0.2) * state.ms_in_sndcard_buf.astype(F32),
+                F32(D.SAMP_MS_NB))
+            stable = (jnp.abs(first_val - state.ms_in_sndcard_buf
+                              ).astype(F32) < thresh)
+            acc = jnp.where(stable, acc + state.ms_in_sndcard_buf, acc)
+            counter = jnp.where(stable, state.counter + 1, I32(0))
+
+            # enough stable frames -> size from the average
+            done_avg = counter * n_blocks_10ms >= 6
+            size_avg = jnp.minimum(
+                spl.div_trunc(3 * acc * mult, counter * 40),
+                I32(D.BUF_SIZE_FRAMES))
+            # hard timeout (~0.5 s) -> size from the instantaneous value
+            done_timeout = ctr * n_blocks_10ms > 50
+            size_timeout = jnp.minimum(
+                spl.div_trunc(3 * state.ms_in_sndcard_buf * mult, I32(40)),
+                I32(D.BUF_SIZE_FRAMES))
+
+            buf_size_start = jnp.where(
+                done_timeout, size_timeout,
+                jnp.where(done_avg, size_avg, state.buf_size_start))
+            check_buff_size = jnp.where(done_avg | done_timeout, I32(0),
+                                        I32(1))
+            return state._replace(
+                check_buf_size_ctr=ctr, first_val=first_val, sum=acc,
+                counter=counter, buf_size_start=buf_size_start,
+                check_buff_size=check_buff_size)
+
+        checked = check_size(state)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(state.check_buff_size != 0, a, b),
+            checked, state)
+
+        # buffer sizing settled -> align and enable
+        settled = state.check_buff_size == 0
+        enable_eq = settled & (filled == state.buf_size_start)
+        enable_gt = settled & (filled > state.buf_size_start)
+        avail = rbuf.available_read(state.farend_buf)
+        farend_buf = rbuf.move_read_ptr(
+            state.farend_buf,
+            jnp.where(enable_gt,
+                      avail - state.buf_size_start * D.FRAME_LEN, I32(0)))
+        ec_startup = jnp.where(enable_eq | enable_gt, I32(0),
+                               state.ec_startup)
+        state = state._replace(farend_buf=farend_buf, ec_startup=ec_startup)
+        return state, jnp.asarray(out, I32)
+
+    # ---------------- enabled branch ----------------
+    def enabled(state: AecmState):
+        outs = []
+        for i in range(n_frames):
+            filled = (rbuf.available_read(state.farend_buf)
+                      // D.FRAME_LEN).astype(I32)
+            have_data = filled > 0
+            frame, read_buf = rbuf.read(state.farend_buf, D.FRAME_LEN)
+            farend_buf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(have_data, a, b),
+                read_buf, state.farend_buf)
+            farend = jnp.where(have_data, frame, state.farend_old[i])
+            farend_old = state.farend_old.at[i].set(farend)
+            state = state._replace(farend_buf=farend_buf,
+                                   farend_old=farend_old)
+
+            if (i == 0 and sample_rate == 8000) or (
+                    i == 1 and sample_rate == 16000):
+                state = _est_buf_delay(state, mult)
+
+            # NOTE: the reference extraction never forwards the control-layer
+            # knownDelay into the core (the pre-refactor call is commented
+            # out, echo_control_mobile.cc:390-391); the core's knownDelay
+            # stays 0 and alignment is done by the binary delay estimator.
+            sl = slice(i * D.FRAME_LEN, (i + 1) * D.FRAME_LEN)
+            core, out_frame = core_mod.process_frame(
+                state.core, farend, nearend_noisy[sl],
+                nearend_clean[sl] if has_clean else None, mult=mult)
+            state = state._replace(core=core)
+            outs.append(out_frame)
+        return state, jnp.concatenate(outs, axis=-1)
+
+    started, started_out = startup(state)
+    ran, ran_out = enabled(state)
+    in_startup = state.ec_startup != 0
+    out = jnp.where(in_startup, started_out, ran_out)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(in_startup, a, b), started, ran)
+    return state, out, warn

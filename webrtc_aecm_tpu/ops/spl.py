@@ -101,19 +101,59 @@ def shift_w32(x, c):
 
     Positive c => left shift (via multiply, wrapping), negative => arithmetic
     right shift.  Works on int32 or uint32 inputs, preserving dtype semantics.
+
+    Data-dependent shift counts are masked `& 31`, reproducing the x86-64
+    variable-shift behavior the reference binary exhibits on the (dead or
+    masked-off) lanes where the C code's count would exceed 31; all live
+    reference paths use counts in [0, 31].
     """
     x = jnp.asarray(x)
     c = jnp.asarray(c, dtype=I32)
-    cpos = jnp.maximum(c, 0).astype(x.dtype if x.dtype == U32 else I32)
-    cneg = jnp.maximum(-c, 0)
+    cpos = (jnp.maximum(c, 0) & 31).astype(U32)
+    cneg = (jnp.maximum(-c, 0) & 31)
     if x.dtype == U32:
-        left = x * (U32(1) << cpos.astype(U32))
+        left = x * (U32(1) << cpos)
         right = x >> cneg.astype(U32)
     else:
         x = x.astype(I32)
-        left = (x.astype(U32) << cpos.astype(U32)).astype(I32)
+        left = (x.astype(U32) << cpos).astype(I32)
         right = x >> cneg
     return jnp.where(c >= 0, left, right)
+
+
+def shl_u32(x, c):
+    """uint32 left shift with x86 `& 31` count masking (wrapping)."""
+    return x.astype(U32) << (jnp.asarray(c, I32) & 31).astype(U32)
+
+
+def shr_u32(x, c):
+    """uint32 logical right shift with x86 `& 31` count masking."""
+    return x.astype(U32) >> (jnp.asarray(c, I32) & 31).astype(U32)
+
+
+def sar_i32(x, c):
+    """int32 arithmetic right shift with x86 `& 31` count masking."""
+    return x.astype(I32) >> (jnp.asarray(c, I32) & 31)
+
+
+def shl_i32(x, c):
+    """int32 left shift (wrapping) with x86 `& 31` count masking."""
+    return (x.astype(U32) << (jnp.asarray(c, I32) & 31).astype(U32)).astype(I32)
+
+
+def mul_i64_shift_right(x, mult: int, shift: int):
+    """(int64(x) * mult) >> shift without 64-bit arithmetic.
+
+    Exact when (mult << shift's discarded bits) decompose cleanly:
+    x = q*2^shift + r (arithmetic split), result = q*mult + (r*mult >> shift),
+    valid when mult * 2^shift fits int32-per-part — used for the echoFilt
+    IIR (aecm_core_c.cc:524-525: (int64{diff} * 50) >> 8).
+    """
+    assert 0 < mult < (1 << 15) and 0 <= shift < 31
+    x = x.astype(I32)
+    q = x >> shift
+    r = x & ((1 << shift) - 1)
+    return q * mult + ((r * mult) >> shift)
 
 
 def div_trunc(num, den):
@@ -183,6 +223,7 @@ _LCG_MASK = 0x7FFFFFFF
 
 
 def _lcg_tables(n):
+    import numpy as np
     a_pow = []
     c_acc = []
     a, c = 1, 0
@@ -191,7 +232,9 @@ def _lcg_tables(n):
         c = (c * _LCG_A + 1) & 0xFFFFFFFF
         a_pow.append(a)
         c_acc.append(c)
-    return (jnp.array(a_pow, dtype=U32), jnp.array(c_acc, dtype=U32))
+    # Cache as numpy so the cache never captures a tracer; jnp conversion
+    # happens per-trace at the use site (folds to a constant).
+    return (np.array(a_pow, dtype=np.uint32), np.array(c_acc, dtype=np.uint32))
 
 
 _LCG_TABLE_CACHE = {}
@@ -209,7 +252,9 @@ def rand_u_array(seed, n):
     """
     if n not in _LCG_TABLE_CACHE:
         _LCG_TABLE_CACHE[n] = _lcg_tables(n)
-    a_pow, c_acc = _LCG_TABLE_CACHE[n]
+    a_np, c_np = _LCG_TABLE_CACHE[n]
+    a_pow = jnp.asarray(a_np)
+    c_acc = jnp.asarray(c_np)
     seed = seed.astype(U32)
     seeds = (a_pow * seed + c_acc) & U32(_LCG_MASK)
     values = (seeds >> U32(16)).astype(I32)
