@@ -11,10 +11,15 @@ from . import control
 from . import core
 from . import defines
 from . import delay_estimator
+from . import models
+from . import parallel
+from . import utils
 from .api import AecmInstance, AecmState
+from .models import AecmPipeline
 
 __all__ = [
     "api", "control", "core", "defines", "delay_estimator",
-    "AecmInstance", "AecmState",
+    "models", "parallel", "utils",
+    "AecmInstance", "AecmState", "AecmPipeline",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,68 @@
+"""Multi-chip sharding of the stream axis over a device mesh.
+
+AECM streams are mathematically independent (SURVEY.md §2: the reference has
+no inter-instance coupling of any kind), so multi-chip scaling is pure data
+parallelism over the stream axis: a 1-D `jax.sharding.Mesh`, every state
+leaf and every audio tensor sharded on its leading `(n_streams,)` dim with
+`NamedSharding(P("streams"))`.  XLA then compiles the batched step with zero
+collectives — ICI carries nothing during compute; only host↔device audio
+I/O touches the interconnect.
+
+This replaces the reference's (nonexistent) distribution story the TPU way:
+no NCCL/MPI analog is needed because the math requires no reduction.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STREAM_AXIS = "streams"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = STREAM_AXIS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, named for the stream axis."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def stream_sharding(mesh: Mesh, axis_name: str = STREAM_AXIS
+                    ) -> NamedSharding:
+    """Shard the leading (stream) axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_streams(tree, mesh: Mesh, axis_name: str = STREAM_AXIS):
+    """Place every leaf of a batched pytree with its stream axis sharded.
+
+    Each leaf of a batched `AecmState` (and each audio tensor) has shape
+    (n_streams, ...); n_streams must be divisible by the mesh size.
+    """
+    sh = stream_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_sharded_step(sample_rate: int, mesh: Mesh, has_clean: bool = False,
+                      axis_name: str = STREAM_AXIS):
+    """Jit the batched 10 ms step with explicit stream-axis shardings.
+
+    Returns a compiled callable `step(state, far, noisy[, clean], ms)` →
+    `(state, out, warn)` whose inputs and outputs are all sharded on the
+    stream axis — state stays resident and sharded across chips between
+    calls, so the only per-call transfer is the audio frames.
+    """
+    from .batch import make_chunk_step
+
+    sh = stream_sharding(mesh, axis_name)
+    step = make_chunk_step(sample_rate, has_clean)
+    n_args = 1 + (3 if has_clean else 2) + 1  # state + audio tensors + ms
+    # `sh` is a valid pytree prefix for the state argument: every leaf of
+    # the batched AecmState is sharded on its leading stream axis.
+    return jax.jit(step,
+                   in_shardings=tuple([sh] * n_args),
+                   out_shardings=(sh, sh, sh))
