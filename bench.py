@@ -12,9 +12,18 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.monotonic()
 
 
 def main() -> None:
@@ -44,19 +53,25 @@ def main() -> None:
     near = jnp.asarray(np.broadcast_to(near1, (n_streams, n_samples)),
                        jnp.int32)
 
+    _log(f"backend={jax.default_backend()} streams={n_streams} "
+         f"audio={audio_s}s")
     state0 = pbatch.create_batch(n_streams, rate)
     run = jax.jit(lambda s, f, d: pbatch.run_streams(s, f, d, rate, 40))
 
     # Warmup: compile + one full run (also converges NLMS once).
-    state, out = run(state0, far, near)
+    compiled = run.lower(state0, far, near).compile()
+    _log("compiled")
+    state, out = compiled(state0, far, near)
     jax.block_until_ready(out)
+    _log("warmup run done")
 
     n_iters = 3
     t0 = time.monotonic()
     for _ in range(n_iters):
-        state, out = run(state, far, near)
+        state, out = compiled(state, far, near)
     jax.block_until_ready(out)
     wall = (time.monotonic() - t0) / n_iters
+    _log(f"measured {wall:.3f}s per {audio_s}s x {n_streams} streams")
 
     # stream-seconds of audio processed per wall-second = number of
     # concurrent streams sustainable at exactly 1x real time.

@@ -275,8 +275,18 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
 
     # ---------------- enabled branch ----------------
     def enabled(state: AecmState):
-        outs = []
-        for i in range(n_frames):
+        # Scanned (not unrolled) over the 1-2 frames of the call so the
+        # heavy frame body is traced and compiled exactly once.
+        est_idx = 0 if sample_rate == 8000 else 1
+        noisy_frames = jnp.reshape(jnp.asarray(nearend_noisy, I32),
+                                   (n_frames, D.FRAME_LEN))
+        clean_frames = (jnp.reshape(jnp.asarray(nearend_clean, I32),
+                                    (n_frames, D.FRAME_LEN))
+                        if has_clean else noisy_frames)
+        frame_ids = jnp.arange(n_frames, dtype=I32)
+
+        def body(state: AecmState, xs):
+            i, noisy_f, clean_f = xs
             filled = (rbuf.available_read(state.farend_buf)
                       // D.FRAME_LEN).astype(I32)
             have_data = filled > 0
@@ -284,26 +294,30 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             farend_buf = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(have_data, a, b),
                 read_buf, state.farend_buf)
-            farend = jnp.where(have_data, frame, state.farend_old[i])
-            farend_old = state.farend_old.at[i].set(farend)
+            row_sel = (jnp.arange(2, dtype=I32) == i)[:, None]
+            old_i = jnp.sum(jnp.where(row_sel, state.farend_old, 0), axis=0)
+            farend = jnp.where(have_data, frame, old_i)
+            farend_old = jnp.where(row_sel, farend[None, :],
+                                   state.farend_old)
             state = state._replace(farend_buf=farend_buf,
                                    farend_old=farend_old)
 
-            if (i == 0 and sample_rate == 8000) or (
-                    i == 1 and sample_rate == 16000):
-                state = _est_buf_delay(state, mult)
+            est = _est_buf_delay(state, mult)
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(i == est_idx, a, b), est, state)
 
             # NOTE: the reference extraction never forwards the control-layer
             # knownDelay into the core (the pre-refactor call is commented
             # out, echo_control_mobile.cc:390-391); the core's knownDelay
             # stays 0 and alignment is done by the binary delay estimator.
-            sl = slice(i * D.FRAME_LEN, (i + 1) * D.FRAME_LEN)
             core, out_frame = core_mod.process_frame(
-                state.core, farend, nearend_noisy[sl],
-                nearend_clean[sl] if has_clean else None, mult=mult)
-            state = state._replace(core=core)
-            outs.append(out_frame)
-        return state, jnp.concatenate(outs, axis=-1)
+                state.core, farend, noisy_f,
+                clean_f if has_clean else None, mult=mult)
+            return state._replace(core=core), out_frame
+
+        state, outs = jax.lax.scan(
+            body, state, (frame_ids, noisy_frames, clean_frames))
+        return state, jnp.reshape(outs, (out_len,))
 
     started, started_out = startup(state)
     ran, ran_out = enabled(state)

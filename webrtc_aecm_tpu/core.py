@@ -57,19 +57,30 @@ class CoreState(NamedTuple):
     far_buf_read_pos: jnp.ndarray
     known_delay: jnp.ndarray
     last_known_delay: jnp.ndarray
-    # frame<->block re-blocking rings (aecm_core.cc:183-209)
-    far_frame_buf: rbuf.RingBuffer      # 144 samples each
-    near_noisy_frame_buf: rbuf.RingBuffer
-    near_clean_frame_buf: rbuf.RingBuffer
-    out_frame_buf: rbuf.RingBuffer
+    # frame<->block re-blocking carries (replaces the reference's four
+    # 144-sample rings, aecm_core.cc:183-209).  Because every frame writes
+    # exactly FRAME_LEN=80 and every block consumes PART_LEN=64, the ring
+    # fill is provably always in {0,16,32,48}; the rings reduce to <=48
+    # carried samples plus a fill counter, and all buffer motion becomes
+    # static slices + 4-way selects (no scatters — TPU lowers vmapped
+    # scatters to serial loops).
+    frame_fill: jnp.ndarray       # in-carry fill, in {0,16,32,48}
+    in_carry_far: jnp.ndarray     # (64,) carried input samples
+    in_carry_noisy: jnp.ndarray   # (64,)
+    in_carry_clean: jnp.ndarray   # (64,)
+    out_fill: jnp.ndarray         # out-carry fill, in {0,16,32,48}
+    out_carry: jnp.ndarray        # (64,) carried output samples
+    out_tail: jnp.ndarray         # (16,) last emitted samples: the ring's
+                                  # stuffing re-reads these (not zeros) on
+                                  # frames 1-2 (WebRtc_MoveReadPtr backs the
+                                  # read ptr into just-consumed data)
     # CNG RNG
     seed: jnp.ndarray             # uint32
     # delay estimation (far history + estimator pytrees)
     de_farend: de.FarendState
     de_near: de.NearState
-    far_history: jnp.ndarray      # (MAX_DELAY, 65)
-    far_q_domains: jnp.ndarray    # (MAX_DELAY,)
-    far_history_pos: jnp.ndarray
+    far_history: jnp.ndarray      # (MAX_DELAY, 65), newest at row 0
+    far_q_domains: jnp.ndarray    # (MAX_DELAY,), newest at index 0
     # runtime knobs (WebRtcAecm_Control, aecm_core.cc:477-482)
     nlp_flag: jnp.ndarray
     fixed_delay: jnp.ndarray
@@ -174,16 +185,18 @@ def create_core(sample_rate: int = 8000) -> CoreState:
         far_buf_read_pos=I32(0),
         known_delay=I32(0),
         last_known_delay=I32(0),
-        far_frame_buf=rbuf.create(D.FRAME_LEN + D.PART_LEN),
-        near_noisy_frame_buf=rbuf.create(D.FRAME_LEN + D.PART_LEN),
-        near_clean_frame_buf=rbuf.create(D.FRAME_LEN + D.PART_LEN),
-        out_frame_buf=rbuf.create(D.FRAME_LEN + D.PART_LEN),
+        frame_fill=I32(0),
+        in_carry_far=jnp.zeros((D.PART_LEN,), I32),
+        in_carry_noisy=jnp.zeros((D.PART_LEN,), I32),
+        in_carry_clean=jnp.zeros((D.PART_LEN,), I32),
+        out_fill=I32(0),
+        out_carry=jnp.zeros((D.PART_LEN,), I32),
+        out_tail=jnp.zeros((16,), I32),
         seed=U32(666),
         de_farend=de.create_farend(),
         de_near=de.create_near(),
         far_history=jnp.zeros((D.MAX_DELAY, D.PART_LEN1), I32),
         far_q_domains=jnp.zeros((D.MAX_DELAY,), I32),
-        far_history_pos=I32(D.MAX_DELAY),
         nlp_flag=I32(1),
         fixed_delay=I32(-1),
         tot_count=I32(0),
@@ -235,19 +248,27 @@ def create_core(sample_rate: int = 8000) -> CoreState:
 # ---------------------------------------------------------------------------
 
 def update_far_history(state: CoreState, far_spectrum, far_q) -> CoreState:
-    pos = state.far_history_pos + 1
-    pos = jnp.where(pos >= D.MAX_DELAY, I32(0), pos)
+    """UpdateFarHistory (aecm_core.cc:125-141) as a shift-register.
+
+    Newest spectrum lives at row 0 (the reference keeps a moving write
+    cursor instead); a static concat avoids the vmapped row-scatter, which
+    TPU lowers serially.
+    """
     return state._replace(
-        far_history_pos=pos,
-        far_q_domains=state.far_q_domains.at[pos].set(far_q),
-        far_history=state.far_history.at[pos].set(far_spectrum),
+        far_q_domains=jnp.concatenate(
+            [far_q[None], state.far_q_domains[:-1]], axis=0),
+        far_history=jnp.concatenate(
+            [far_spectrum[None, :], state.far_history[:-1]], axis=0),
     )
 
 
 def aligned_farend(state: CoreState, delay):
-    pos = state.far_history_pos - delay
-    pos = jnp.where(pos < 0, pos + D.MAX_DELAY, pos)
-    return state.far_history[pos], state.far_q_domains[pos]
+    """AlignedFarend (aecm_core.cc:143-172): newest-at-0 => row = [delay]."""
+    delay = jnp.clip(delay, 0, D.MAX_DELAY - 1)
+    return (jax.lax.dynamic_index_in_dim(state.far_history, delay, axis=0,
+                                         keepdims=False),
+            jax.lax.dynamic_index_in_dim(state.far_q_domains, delay, axis=0,
+                                         keepdims=False))
 
 
 # ---------------------------------------------------------------------------
@@ -872,8 +893,8 @@ def process_block(state: CoreState, farend, nearend_noisy,
 
 def buffer_far_frame(state: CoreState, farend) -> CoreState:
     n = farend.shape[-1]
-    idx = (state.far_buf_write_pos + jnp.arange(n, dtype=I32)) % D.FAR_BUF_LEN
-    far_buf = state.far_buf.at[idx].set(farend)
+    far_buf = rbuf._contig_write(state.far_buf, state.far_buf_write_pos,
+                                 farend, I32(n))
     write_pos = (state.far_buf_write_pos + n) % D.FAR_BUF_LEN
     return state._replace(far_buf=far_buf, far_buf_write_pos=write_pos)
 
@@ -881,8 +902,7 @@ def buffer_far_frame(state: CoreState, farend) -> CoreState:
 def fetch_far_frame(state: CoreState, n: int, known_delay):
     delay_change = known_delay - state.last_known_delay
     read_pos = (state.far_buf_read_pos - delay_change) % D.FAR_BUF_LEN
-    idx = (read_pos + jnp.arange(n, dtype=I32)) % D.FAR_BUF_LEN
-    farend = state.far_buf[idx]
+    farend = rbuf._contig_read(state.far_buf, read_pos, n)
     state = state._replace(
         far_buf_read_pos=(read_pos + n) % D.FAR_BUF_LEN,
         last_known_delay=known_delay)
@@ -894,55 +914,109 @@ def fetch_far_frame(state: CoreState, n: int, known_delay):
 # (aecm_core.cc:501-572)
 # ---------------------------------------------------------------------------
 
+def _place_at_fill(carry, frame, fill):
+    """concat(carry[:fill], frame) left-aligned in a 144-wide work buffer.
+
+    fill is always one of {0,16,32,48}, so the dynamic placement is a 4-way
+    select of static concats — pure elementwise, no scatter/gather.
+    """
+    pad = jnp.zeros((D.PART_LEN,), frame.dtype)
+    cands = jnp.stack([
+        jnp.concatenate([frame, pad], axis=-1),
+        jnp.concatenate([carry[..., :16], frame, pad[..., :48]], axis=-1),
+        jnp.concatenate([carry[..., :32], frame, pad[..., :32]], axis=-1),
+        jnp.concatenate([carry[..., :48], frame, pad[..., :16]], axis=-1),
+    ], axis=0)
+    sel = (fill >> 4)[..., None] == jnp.arange(4, dtype=I32)[:, None]
+    return jnp.sum(jnp.where(sel, cands, 0), axis=0)
+
+
 def process_frame(state: CoreState, farend, nearend_noisy,
                   nearend_clean=None, mult: int = 1):
-    """WebRtcAecm_ProcessFrame: one FRAME_LEN frame in, one frame out.
+    """WebRtcAecm_ProcessFrame (aecm_core.cc:501-572): one 80-sample frame
+    in, one frame out, re-blocked through 64-sample blocks.
 
-    A frame yields 1 or 2 blocks depending on ring fill; both iterations are
-    traced, the second gated by availability (single fused graph, vmappable).
+    Bit-exact restatement of the reference's ring-buffer flow: because
+    writes are always 80 and reads always 64, the in-ring fill cycles
+    0->16->32->48->0 (two blocks fire at 48) and the out-ring fill mirrors
+    it as 48-fill, with the <80-available zero-stuffing
+    (aecm_core.cc:557-562) firing exactly on the first three frames.  The
+    rings therefore reduce to <=48-sample carries and every buffer move is
+    a static slice or a {2,4}-way select.
     """
     has_clean = nearend_clean is not None
 
     state = buffer_far_frame(state, farend)
     state, far_frame = fetch_far_frame(state, D.FRAME_LEN, state.known_delay)
 
+    fill = state.frame_fill
+    two_blocks = fill >= 48           # fill + 80 >= 128
+    work_far = _place_at_fill(state.in_carry_far, far_frame, fill)
+    work_noisy = _place_at_fill(state.in_carry_noisy,
+                                jnp.asarray(nearend_noisy, I32), fill)
+    blocks_far = jnp.stack([work_far[..., :D.PART_LEN],
+                            work_far[..., D.PART_LEN:2 * D.PART_LEN]])
+    blocks_noisy = jnp.stack([work_noisy[..., :D.PART_LEN],
+                              work_noisy[..., D.PART_LEN:2 * D.PART_LEN]])
     state = state._replace(
-        far_frame_buf=rbuf.write(state.far_frame_buf, far_frame),
-        near_noisy_frame_buf=rbuf.write(state.near_noisy_frame_buf,
-                                        nearend_noisy))
+        in_carry_far=work_far[..., D.PART_LEN:2 * D.PART_LEN],
+        in_carry_noisy=work_noisy[..., D.PART_LEN:2 * D.PART_LEN],
+        frame_fill=jnp.where(two_blocks, fill - 48, fill + 16))
     if has_clean:
+        work_clean = _place_at_fill(state.in_carry_clean,
+                                    jnp.asarray(nearend_clean, I32), fill)
+        blocks_clean = jnp.stack([work_clean[..., :D.PART_LEN],
+                                  work_clean[..., D.PART_LEN:2 * D.PART_LEN]])
         state = state._replace(
-            near_clean_frame_buf=rbuf.write(state.near_clean_frame_buf,
-                                            nearend_clean))
+            in_carry_clean=work_clean[..., D.PART_LEN:2 * D.PART_LEN])
+    else:
+        blocks_clean = blocks_noisy  # unused
 
-    def block_iter(state):
-        far_block, far_fb = rbuf.read(state.far_frame_buf, D.PART_LEN)
-        noisy_block, noisy_fb = rbuf.read(state.near_noisy_frame_buf,
-                                          D.PART_LEN)
-        state = state._replace(far_frame_buf=far_fb,
-                               near_noisy_frame_buf=noisy_fb)
-        if has_clean:
-            clean_block, clean_fb = rbuf.read(state.near_clean_frame_buf,
-                                              D.PART_LEN)
-            state = state._replace(near_clean_frame_buf=clean_fb)
-        else:
-            clean_block = None
-        state, out_block = process_block(state, far_block, noisy_block,
-                                         clean_block, mult=mult)
-        return state._replace(
-            out_frame_buf=rbuf.write(state.out_frame_buf, out_block))
+    # Scan (not unroll) over the <=2 blocks so the big block body is traced
+    # and compiled exactly once; block 1 is gated by the fill level.
+    active_mask = jnp.stack([jnp.ones_like(two_blocks), two_blocks])
 
-    for _ in range(2):  # a frame holds at most 2 complete blocks
-        active = rbuf.available_read(state.far_frame_buf) >= D.PART_LEN
-        new_state = block_iter(state)
+    def scan_body(state, xs):
+        far_b, noisy_b, clean_b, active = xs
+        new_state, out_block = process_block(
+            state, far_b, noisy_b, clean_b if has_clean else None, mult=mult)
         state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old), new_state, state)
+        return state, jnp.where(active, out_block, 0)
 
-    # First-frame zero-stuffing (aecm_core.cc:557-562).
-    size = rbuf.available_read(state.out_frame_buf)
-    out_fb = rbuf.move_read_ptr(
-        state.out_frame_buf,
-        jnp.where(size < D.FRAME_LEN, size - D.FRAME_LEN, I32(0)))
-    out, out_fb = rbuf.read(out_fb, D.FRAME_LEN)
-    state = state._replace(out_frame_buf=out_fb)
+    state, out_blocks = jax.lax.scan(
+        scan_body, state, (blocks_far, blocks_noisy, blocks_clean,
+                           active_mask))
+
+    # Out side: place the 64k produced samples after the carried out_fill
+    # samples, zero-stuff to 80 if short (first frames only), emit 80.
+    o = state.out_fill
+    n_blocks = 1 + two_blocks.astype(I32)
+    produced = jnp.concatenate([out_blocks[0], out_blocks[1]], axis=-1)
+    # 192-wide work buffer = carry[:o] ++ produced, via the same 4-way select.
+    pad192 = jnp.zeros((D.PART_LEN,), I32)
+    cands = jnp.stack([
+        jnp.concatenate([produced, pad192], axis=-1),
+        jnp.concatenate([state.out_carry[..., :16], produced,
+                         pad192[..., :48]], axis=-1),
+        jnp.concatenate([state.out_carry[..., :32], produced,
+                         pad192[..., :32]], axis=-1),
+        jnp.concatenate([state.out_carry[..., :48], produced,
+                         pad192[..., :16]], axis=-1),
+    ], axis=0)
+    sel = (o >> 4)[..., None] == jnp.arange(4, dtype=I32)[:, None]
+    work_out = jnp.sum(jnp.where(sel, cands, 0), axis=0)  # (192,)
+
+    avail = o + n_blocks * D.PART_LEN
+    stuff = jnp.maximum(I32(0), D.FRAME_LEN - avail)  # 0 or 16
+    stuffed = stuff > 0
+    out = jnp.where(
+        stuffed,
+        jnp.concatenate([state.out_tail, work_out[..., :64]], axis=-1),
+        work_out[..., :D.FRAME_LEN])
+    new_carry = jnp.where(stuffed, work_out[..., 64:64 + D.PART_LEN],
+                          work_out[..., D.FRAME_LEN:D.FRAME_LEN + D.PART_LEN])
+    state = state._replace(out_carry=new_carry,
+                           out_fill=avail + stuff - D.FRAME_LEN,
+                           out_tail=out[..., -16:])
     return state, out

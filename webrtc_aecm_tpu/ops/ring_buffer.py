@@ -19,12 +19,40 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
 
 SAME_WRAP = 0
 DIFF_WRAP = 1
+
+
+def _contig_write(data, pos, values, n_write):
+    """Write values[:n_write] at [pos, pos+n_write) mod C — scatter-free.
+
+    TPU lowers vmapped scatters to serial per-index loops (measured ~10x
+    slower than gathers), so the wrap-around write is expressed as a
+    dynamic roll of the (static-width) value vector plus an elementwise
+    select: `jnp.roll` with a traced shift lowers to concat+dynamic_slice,
+    which stays a contiguous vector op under `vmap`.
+    """
+    cap = data.shape[-1]
+    count = values.shape[-1]
+    padded = jnp.concatenate(
+        [values.astype(data.dtype),
+         jnp.zeros((cap - count,), data.dtype)], axis=-1)
+    rolled = jnp.roll(padded, pos, axis=-1)
+    offset = (jnp.arange(cap, dtype=I32) - pos) % cap
+    return jnp.where(offset < n_write, rolled, data)
+
+
+def _contig_read(data, pos, count: int):
+    """Read `count` (static) values at [pos, pos+count) mod C — one
+    contiguous dynamic_slice on a doubled view (gathers are cheap on TPU;
+    only scatters are not)."""
+    doubled = jnp.concatenate([data, data[..., :count]], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(doubled, pos, count, axis=-1)
 
 
 class RingBuffer(NamedTuple):
@@ -73,10 +101,7 @@ def write(rb: RingBuffer, values) -> RingBuffer:
     n_write = jnp.minimum(free, I32(count))
     margin = cap - rb.write_pos
     wrapped = n_write > margin
-    idx = (rb.write_pos + jnp.arange(count, dtype=I32)) % cap
-    mask = jnp.arange(count, dtype=I32) < n_write
-    old = rb.data[idx]
-    data = rb.data.at[idx].set(jnp.where(mask, values.astype(rb.data.dtype), old))
+    data = _contig_write(rb.data, rb.write_pos, values, n_write)
     new_wp = jnp.where(wrapped, n_write - margin, rb.write_pos + n_write)
     new_wrap = jnp.where(wrapped, I32(DIFF_WRAP), rb.rw_wrap)
     return rb._replace(data=data, write_pos=new_wp, rw_wrap=new_wrap)
@@ -106,10 +131,8 @@ def read(rb: RingBuffer, count: int):
     are zeroed (the C API leaves them unspecified; AECM always checks
     availability first so this never differs in-flow).
     """
-    cap = rb.capacity
     readable = available_read(rb)
     n_read = jnp.minimum(readable, I32(count))
-    idx = (rb.read_pos + jnp.arange(count, dtype=I32)) % cap
     mask = jnp.arange(count, dtype=I32) < n_read
-    values = jnp.where(mask, rb.data[idx], 0)
+    values = jnp.where(mask, _contig_read(rb.data, rb.read_pos, count), 0)
     return values, move_read_ptr(rb, n_read)
