@@ -29,6 +29,17 @@ _T0 = time.monotonic()
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: XLA compile of the serving graph takes
+    # minutes (remote compile service, variable load); cache hits are free.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from webrtc_aecm_tpu.parallel import batch as pbatch
 
     rate = 16000

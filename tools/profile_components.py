@@ -120,9 +120,6 @@ def main():
     dly = jnp.full((B,), 5, jnp.int32)
     timeit(af, (cst, dly), name="core.aligned_farend")
 
-    # known-delay far buffer
-    bff = jax.jit(jax.vmap(core.buffer_far_frame))
-    timeit(bff, (cst, frame), name="core.buffer_far_frame (cap 256)")
 
 
 if __name__ == "__main__":

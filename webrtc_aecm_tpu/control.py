@@ -156,8 +156,15 @@ def buffer_farend(state: AecmState, farend, mult: int = 1) -> AecmState:
     farend: (80,) or (160,) int32 samples (static length).
     """
     comped = _delay_comp(state, mult)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(state.ec_startup == 0, a, b), comped, state)
+    # _delay_comp only moves the read pointer and the delay_change flag;
+    # select just those (a whole-state select would copy far_history etc.).
+    enabled = state.ec_startup == 0
+    state = state._replace(
+        farend_buf=jax.tree_util.tree_map(
+            lambda a, b: jnp.where(enabled, a, b),
+            comped.farend_buf, state.farend_buf),
+        delay_change=jnp.where(enabled, comped.delay_change,
+                               state.delay_change))
     return state._replace(farend_buf=rbuf.write(state.farend_buf, farend))
 
 
@@ -255,9 +262,11 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
                 check_buff_size=check_buff_size)
 
         checked = check_size(state)
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(state.check_buff_size != 0, a, b),
-            checked, state)
+        checking = state.check_buff_size != 0
+        state = state._replace(**{
+            f: jnp.where(checking, getattr(checked, f), getattr(state, f))
+            for f in ("check_buf_size_ctr", "first_val", "sum", "counter",
+                      "buf_size_start", "check_buff_size")})
 
         # buffer sizing settled -> align and enable
         settled = state.check_buff_size == 0
@@ -302,9 +311,17 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             state = state._replace(farend_buf=farend_buf,
                                    farend_old=farend_old)
 
+            # _est_buf_delay touches only the jitter-ring pointers and the
+            # delay-governance scalars; select just those fields.
             est = _est_buf_delay(state, mult)
-            state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(i == est_idx, a, b), est, state)
+            est_on = i == est_idx
+            state = state._replace(
+                farend_buf=jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(est_on, a, b),
+                    est.farend_buf, state.farend_buf),
+                **{f: jnp.where(est_on, getattr(est, f), getattr(state, f))
+                   for f in ("filt_delay", "time_for_delay_change",
+                             "known_delay", "last_delay_diff")})
 
             # NOTE: the reference extraction never forwards the control-layer
             # knownDelay into the core (the pre-refactor call is commented

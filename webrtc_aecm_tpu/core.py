@@ -42,6 +42,32 @@ _COS_360 = jnp.asarray(tables.COS_TABLE_360)
 _SIN_360 = jnp.asarray(tables.SIN_TABLE_360)
 _BIN_INDEX = jnp.arange(D.PART_LEN1, dtype=I32)
 
+# 360-entry Q13 tables reshaped (24, 15) for the bilinear lookup below.
+_COS_360_2D = jnp.asarray(tables.COS_TABLE_360, jnp.float32).reshape(24, 15)
+_SIN_360_2D = jnp.asarray(tables.SIN_TABLE_360, jnp.float32).reshape(24, 15)
+
+
+def _phase_table_lookup(idx):
+    """cos/sin table gather as an exact bilinear one-hot contraction.
+
+    A vmapped dynamic gather costs ~0.5 ms flat per op on TPU; instead,
+    with idx = 15*h + l (360 = 24*15), the lookup is
+    sum_{h,l} onehot_h * T[h,l] * onehot_l — two small matmul/reduce ops.
+    Exact: table values are integers |v| <= 8192, one-hots are 0/1, and all
+    f32 intermediate values are integers < 2^24.
+
+    Returns (cos, sin) int32 values from the Q13 tables.
+    """
+    h = idx // 15
+    l = idx - 15 * h
+    oh_h = (h[..., None] == jnp.arange(24, dtype=I32)).astype(jnp.float32)
+    oh_l = (l[..., None] == jnp.arange(15, dtype=I32)).astype(jnp.float32)
+    cos_rows = oh_h @ _COS_360_2D           # (..., 15)
+    sin_rows = oh_h @ _SIN_360_2D
+    cos_v = jnp.sum(cos_rows * oh_l, axis=-1)
+    sin_v = jnp.sum(sin_rows * oh_l, axis=-1)
+    return cos_v.astype(I32), sin_v.astype(I32)
+
 
 class CoreState(NamedTuple):
     """Union of the reference's AecmCore fields (aecm_core.h:41-141),
@@ -51,12 +77,13 @@ class CoreState(NamedTuple):
     d_buf_noisy: jnp.ndarray      # (128,) near noisy
     d_buf_clean: jnp.ndarray      # (128,) near clean
     out_buf: jnp.ndarray          # (64,) OLA carry
-    # known-delay far-end sample ring (aecm_core.cc:1054-1108)
-    far_buf: jnp.ndarray          # (256,)
-    far_buf_write_pos: jnp.ndarray
-    far_buf_read_pos: jnp.ndarray
+    # The reference's known-delay far-end sample ring
+    # (BufferFarFrame/FetchFarFrame, aecm_core.cc:1054-1108) is omitted:
+    # this extraction never sets aecm->knownDelay (the forwarding call is
+    # commented out, echo_control_mobile.cc:390-391), so the fetch provably
+    # returns exactly the frame just buffered; alignment is done purely by
+    # the binary delay estimator.  known_delay is kept for API parity.
     known_delay: jnp.ndarray
-    last_known_delay: jnp.ndarray
     # frame<->block re-blocking carries (replaces the reference's four
     # 144-sample rings, aecm_core.cc:183-209).  Because every frame writes
     # exactly FRAME_LEN=80 and every block consumes PART_LEN=64, the ring
@@ -180,11 +207,7 @@ def create_core(sample_rate: int = 8000) -> CoreState:
         d_buf_noisy=jnp.zeros((D.PART_LEN2,), I32),
         d_buf_clean=jnp.zeros((D.PART_LEN2,), I32),
         out_buf=jnp.zeros((D.PART_LEN,), I32),
-        far_buf=jnp.zeros((D.FAR_BUF_LEN,), I32),
-        far_buf_write_pos=I32(0),
-        far_buf_read_pos=I32(0),
         known_delay=I32(0),
-        last_known_delay=I32(0),
         frame_fill=I32(0),
         in_carry_far=jnp.zeros((D.PART_LEN,), I32),
         in_carry_noisy=jnp.zeros((D.PART_LEN,), I32),
@@ -263,12 +286,16 @@ def update_far_history(state: CoreState, far_spectrum, far_q) -> CoreState:
 
 
 def aligned_farend(state: CoreState, delay):
-    """AlignedFarend (aecm_core.cc:143-172): newest-at-0 => row = [delay]."""
-    delay = jnp.clip(delay, 0, D.MAX_DELAY - 1)
-    return (jax.lax.dynamic_index_in_dim(state.far_history, delay, axis=0,
-                                         keepdims=False),
-            jax.lax.dynamic_index_in_dim(state.far_q_domains, delay, axis=0,
-                                         keepdims=False))
+    """AlignedFarend (aecm_core.cc:143-172): newest-at-0 => row = [delay].
+
+    The row select is a one-hot masked sum rather than a dynamic index:
+    vmapped dynamic-index ops cost ~0.5 ms flat on TPU (serialized
+    lowering), while the masked reduction is one VPU pass over the history.
+    """
+    oh = jnp.arange(D.MAX_DELAY, dtype=I32) == delay
+    xfa = jnp.sum(jnp.where(oh[:, None], state.far_history, 0), axis=0)
+    far_q = jnp.sum(jnp.where(oh, state.far_q_domains, 0), axis=0)
+    return xfa, far_q
 
 
 # ---------------------------------------------------------------------------
@@ -708,8 +735,7 @@ def comfort_noise(state: CoreState, dfa, efw_re, efw_im, lam):
 
     rand_w16, seed = spl.rand_u_array(state.seed, D.PART_LEN)
     phase_idx = (359 * rand_w16) >> 15
-    cos_v = _COS_360[phase_idx]
-    sin_v = _SIN_360[phase_idx]
+    cos_v, sin_v = _phase_table_lookup(phase_idx)
     amp = noise_rshift16[1:]
     u_real = jnp.concatenate([jnp.zeros_like(amp[..., :1]),
                               spl.to_w16((amp * cos_v) >> 13)], axis=-1)
@@ -879,34 +905,16 @@ def process_block(state: CoreState, farend, nearend_noisy,
     cng_state, cng_re, cng_im = comfort_noise(state, ptr_dfa_clean,
                                               efw_re, efw_im, hnl)
     use_cng = state.cng_mode != 0
-    state = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(use_cng, new, old), cng_state, state)
+    # comfort_noise touches only the noise-estimator fields and the RNG
+    # seed; a whole-state select would copy far_history and every buffer.
+    state = state._replace(**{
+        f: jnp.where(use_cng, getattr(cng_state, f), getattr(state, f))
+        for f in ("noise_est", "noise_est_too_low_ctr",
+                  "noise_est_too_high_ctr", "noise_est_ctr", "seed")})
     efw_re = jnp.where(use_cng, cng_re, efw_re)
     efw_im = jnp.where(use_cng, cng_im, efw_im)
 
     return inverse_fft_and_window(state, efw_re, efw_im, has_clean)
-
-
-# ---------------------------------------------------------------------------
-# Known-delay far buffer (aecm_core.cc:1054-1108)
-# ---------------------------------------------------------------------------
-
-def buffer_far_frame(state: CoreState, farend) -> CoreState:
-    n = farend.shape[-1]
-    far_buf = rbuf._contig_write(state.far_buf, state.far_buf_write_pos,
-                                 farend, I32(n))
-    write_pos = (state.far_buf_write_pos + n) % D.FAR_BUF_LEN
-    return state._replace(far_buf=far_buf, far_buf_write_pos=write_pos)
-
-
-def fetch_far_frame(state: CoreState, n: int, known_delay):
-    delay_change = known_delay - state.last_known_delay
-    read_pos = (state.far_buf_read_pos - delay_change) % D.FAR_BUF_LEN
-    farend = rbuf._contig_read(state.far_buf, read_pos, n)
-    state = state._replace(
-        far_buf_read_pos=(read_pos + n) % D.FAR_BUF_LEN,
-        last_known_delay=known_delay)
-    return state, farend
 
 
 # ---------------------------------------------------------------------------
@@ -946,8 +954,10 @@ def process_frame(state: CoreState, farend, nearend_noisy,
     """
     has_clean = nearend_clean is not None
 
-    state = buffer_far_frame(state, farend)
-    state, far_frame = fetch_far_frame(state, D.FRAME_LEN, state.known_delay)
+    # BufferFarFrame + FetchFarFrame(knownDelay) degenerate to a passthrough
+    # because knownDelay is structurally 0 in this extraction (see CoreState
+    # docstring); the fetch would return `farend` bit-for-bit.
+    far_frame = jnp.asarray(farend, I32)
 
     fill = state.frame_fill
     two_blocks = fill >= 48           # fill + 80 >= 128
