@@ -34,38 +34,41 @@ _CC_SOURCES = [
 _SHIM = Path(__file__).resolve().parent / "oracle_shim.cc"
 
 
-def build_oracle() -> Path:
+def build_oracle(extra_defines=(), lib_path: Path = LIB) -> Path:
     BUILD.mkdir(exist_ok=True)
     srcs = [REF / "aecm" / s for s in _C_SOURCES + _CC_SOURCES] + [_SHIM]
-    if LIB.exists() and all(LIB.stat().st_mtime > s.stat().st_mtime for s in srcs):
-        return LIB
+    if lib_path.exists() and all(
+            lib_path.stat().st_mtime > s.stat().st_mtime for s in srcs):
+        return lib_path
+    tag = lib_path.stem
+    defines = ["-DNDEBUG"] + [f"-D{d}" for d in extra_defines]
     objs = []
     for s in _C_SOURCES:
-        obj = BUILD / (s + ".o")
+        obj = BUILD / (tag + "." + s + ".o")
         subprocess.run(
-            ["gcc", "-O2", "-fPIC", "-DNDEBUG", f"-I{REF}/aecm", "-c",
+            ["gcc", "-O2", "-fPIC", *defines, f"-I{REF}/aecm", "-c",
              str(REF / "aecm" / s), "-o", str(obj)],
             check=True)
         objs.append(str(obj))
     for s in _CC_SOURCES:
-        obj = BUILD / (s + ".o")
+        obj = BUILD / (tag + "." + s + ".o")
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-DNDEBUG", f"-I{REF}/aecm", "-c",
+            ["g++", "-O2", "-fPIC", *defines, f"-I{REF}/aecm", "-c",
              str(REF / "aecm" / s), "-o", str(obj)],
             check=True)
         objs.append(str(obj))
-    shim_obj = BUILD / "oracle_shim.o"
+    shim_obj = BUILD / (tag + ".oracle_shim.o")
     subprocess.run(
-        ["g++", "-O2", "-fPIC", "-DNDEBUG", f"-I{REF}/aecm", "-c",
+        ["g++", "-O2", "-fPIC", *defines, f"-I{REF}/aecm", "-c",
          str(_SHIM), "-o", str(shim_obj)], check=True)
     objs.append(str(shim_obj))
-    subprocess.run(["g++", "-shared", "-o", str(LIB)] + objs, check=True)
-    return LIB
+    subprocess.run(["g++", "-shared", "-o", str(lib_path)] + objs, check=True)
+    return lib_path
 
 
 class Oracle:
-    def __init__(self):
-        self.lib = ct.CDLL(str(build_oracle()))
+    def __init__(self, extra_defines=(), lib_path: Path = LIB):
+        self.lib = ct.CDLL(str(build_oracle(extra_defines, lib_path)))
         lib = self.lib
         lib.WebRtcSpl_SqrtFloor.restype = ct.c_int32
         lib.WebRtcSpl_SqrtFloor.argtypes = [ct.c_int32]
@@ -246,6 +249,7 @@ class RefAecm:
 
 
 _ORACLE = None
+_ORACLE_ABS_APPROX = None
 
 
 def get_oracle() -> Oracle:
@@ -253,3 +257,12 @@ def get_oracle() -> Oracle:
     if _ORACLE is None:
         _ORACLE = Oracle()
     return _ORACLE
+
+
+def get_oracle_abs_approx() -> Oracle:
+    """Reference built with -DAECM_WITH_ABS_APPROX (aecm_core_c.cc:316-341)."""
+    global _ORACLE_ABS_APPROX
+    if _ORACLE_ABS_APPROX is None:
+        _ORACLE_ABS_APPROX = Oracle(("AECM_WITH_ABS_APPROX",),
+                                    BUILD / "libaecm_ref_absapprox.so")
+    return _ORACLE_ABS_APPROX

@@ -61,14 +61,31 @@ class AecmInstance:
     """
 
     def __init__(self, sample_rate: int = 8000, cng_mode: int = 1,
-                 echo_mode: int = 3):
+                 echo_mode: int = 3, abs_approx: bool = False,
+                 robust_validation: bool = False):
         if sample_rate not in (8000, 16000):
             raise AecmError(AECM_BAD_PARAMETER_ERROR)
         self.sample_rate = sample_rate
         self.mult = sample_rate // 8000
+        self.opts = core_mod.Options(abs_approx=abs_approx,
+                                     robust_validation=robust_validation)
         self.state = control.create(sample_rate)
         self.set_config(cng_mode, echo_mode)
         self._jitted = {}
+
+    def set_control(self, delay: int = -1, nlp_flag: int = 1) -> None:
+        """WebRtcAecm_Control (aecm_core.cc:477-482): fix the far/near
+        delay (in 64-sample blocks; -1 re-enables the estimator) and
+        toggle the NLP stage."""
+        self.state = self.state._replace(
+            core=core_mod.set_control(self.state.core, delay, nlp_flag))
+
+    def delay_quality(self) -> float:
+        """WebRtc_last_delay_quality (delay_estimator_wrapper.cc:513-517):
+        reliability in [0, 1] of the current delay estimate."""
+        from . import delay_estimator as de
+        return float(de.last_delay_quality(
+            self.state.core.de_near, self.opts.robust_validation))
 
     # -- config ------------------------------------------------------------
     def set_config(self, cng_mode: int, echo_mode: int) -> None:
@@ -106,20 +123,25 @@ class AecmInstance:
         self.state = self._jitted[key](self.state,
                                        jnp.asarray(farend, jnp.int32))
 
-    def process(self, nearend_noisy, nearend_clean, ms_in_sndcard_buf: int):
-        """WebRtcAecm_Process. Returns (out int16 ndarray, warning code)."""
+    def process(self, nearend_noisy, nearend_clean, ms_in_sndcard_buf: int,
+                debug: bool = False):
+        """WebRtcAecm_Process. Returns (out int16 ndarray, warning code);
+        with debug=True also a dict of per-block debug taps (hnl, supGain,
+        step size, delay, VAD, energies, delay quality)."""
         if nearend_noisy is None:
             raise AecmError(AECM_NULL_POINTER_ERROR)
         nearend_noisy = np.asarray(nearend_noisy)
         n = nearend_noisy.shape[-1]
         self._validate_len(n)
         has_clean = nearend_clean is not None
-        key = ("proc", n, has_clean)
+        key = ("proc", n, has_clean, debug)
         if key not in self._jitted:
             rate = self.sample_rate
+            opts = self.opts._replace(debug=debug)
 
             def step(state, noisy, clean, ms):
-                return control.process(state, noisy, clean, n, ms, rate)
+                return control.process(state, noisy, clean, n, ms, rate,
+                                       opts)
 
             if has_clean:
                 self._jitted[key] = jax.jit(step)
@@ -127,14 +149,18 @@ class AecmInstance:
                 self._jitted[key] = jax.jit(
                     lambda state, noisy, ms: step(state, noisy, None, ms))
         if has_clean:
-            self.state, out, warn = self._jitted[key](
+            res = self._jitted[key](
                 self.state, jnp.asarray(nearend_noisy, jnp.int32),
                 jnp.asarray(np.asarray(nearend_clean), jnp.int32),
                 jnp.int32(ms_in_sndcard_buf))
         else:
-            self.state, out, warn = self._jitted[key](
+            res = self._jitted[key](
                 self.state, jnp.asarray(nearend_noisy, jnp.int32),
                 jnp.int32(ms_in_sndcard_buf))
+        self.state, out, warn = res[0], res[1], res[2]
+        if debug:
+            taps = jax.tree_util.tree_map(np.asarray, res[3])
+            return np.asarray(out).astype(np.int16), int(warn), taps
         return np.asarray(out).astype(np.int16), int(warn)
 
     # -- bulk helper (the demo-CLI loop, main.cc:97-147) ---------------------

@@ -200,7 +200,8 @@ def _est_buf_delay(state: AecmState, mult: int) -> AecmState:
 
 
 def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
-            ms_in_sndcard_buf, sample_rate: int):
+            ms_in_sndcard_buf, sample_rate: int,
+            opts: core_mod.Options = core_mod.DEFAULT_OPTIONS):
     """WebRtcAecm_Process (echo_control_mobile.cc:236-408).
 
     Args:
@@ -208,7 +209,10 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
       nearend_clean: optional (out_len,) int32 or None (static presence).
       ms_in_sndcard_buf: int32 scalar, clamped in-graph to [0, 500] + 10.
       sample_rate: static 8000/16000.
-    Returns (state, out (out_len,), warning int32).
+      opts: static core Options (abs_approx/robust_validation/debug).
+    Returns (state, out (out_len,), warning int32); with opts.debug also a
+    debug-taps dict of shape (n_frames, 2 blocks, ...) per entry (taps
+    reflect the enabled branch even while startup passthrough is active).
     """
     mult = sample_rate // 8000
     n_frames = out_len // D.FRAME_LEN
@@ -327,19 +331,29 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             # knownDelay into the core (the pre-refactor call is commented
             # out, echo_control_mobile.cc:390-391); the core's knownDelay
             # stays 0 and alignment is done by the binary delay estimator.
-            core, out_frame = core_mod.process_frame(
+            res = core_mod.process_frame(
                 state.core, farend, noisy_f,
-                clean_f if has_clean else None, mult=mult)
+                clean_f if has_clean else None, mult=mult, opts=opts)
+            if opts.debug:
+                core, out_frame, taps = res
+                return state._replace(core=core), (out_frame, taps)
+            core, out_frame = res
             return state._replace(core=core), out_frame
 
-        state, outs = jax.lax.scan(
+        state, ys = jax.lax.scan(
             body, state, (frame_ids, noisy_frames, clean_frames))
-        return state, jnp.reshape(outs, (out_len,))
+        if opts.debug:
+            outs, taps = ys
+            return state, jnp.reshape(outs, (out_len,)), taps
+        return state, jnp.reshape(ys, (out_len,))
 
     started, started_out = startup(state)
-    ran, ran_out = enabled(state)
+    res = enabled(state)
+    ran, ran_out = res[0], res[1]
     in_startup = state.ec_startup != 0
     out = jnp.where(in_startup, started_out, ran_out)
     state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(in_startup, a, b), started, ran)
+    if opts.debug:
+        return state, out, warn, res[2]
     return state, out, warn

@@ -69,6 +69,33 @@ def _phase_table_lookup(idx):
     return cos_v.astype(I32), sin_v.astype(I32)
 
 
+class Options(NamedTuple):
+    """Static (trace-time) configuration — the reference's compile-time
+    knobs (SURVEY.md §5 'Config / flag system').
+
+    abs_approx: AECM_WITH_ABS_APPROX magnitude approximation
+        (aecm_core_c.cc:34-47, 316-341).
+    robust_validation: WebRtc_enable_robust_validation; the reference
+        explicitly disables it for AECM (aecm_core.cc:225).
+    debug: when True, the block step also returns a dict of debug taps
+        (the TPU equivalent of the reference's AEC_DEBUG dump files,
+        echo_control_mobile.cc:105-136).
+    """
+    abs_approx: bool = False
+    robust_validation: bool = False
+    debug: bool = False
+
+
+DEFAULT_OPTIONS = Options()
+
+
+def set_control(state: "CoreState", delay, nlp_flag) -> "CoreState":
+    """WebRtcAecm_Control (aecm_core.cc:477-482): fixed delay (-1 = use the
+    delay estimator) and NLP toggle."""
+    return state._replace(fixed_delay=jnp.asarray(delay, I32),
+                          nlp_flag=jnp.asarray(nlp_flag, I32))
+
+
 class CoreState(NamedTuple):
     """Union of the reference's AecmCore fields (aecm_core.h:41-141),
     flattened into a pytree.  All scalars are 0-d int32/uint32 arrays."""
@@ -628,8 +655,13 @@ def window_and_fft(time_signal, time_signal_scaling):
     return re, im
 
 
-def time_to_frequency_domain(time_signal):
+def time_to_frequency_domain(time_signal, abs_approx: bool = False):
     """TimeToFrequencyDomain (aecm_core_c.cc:261-365).
+
+    abs_approx: static; True selects the reference's AECM_WITH_ABS_APPROX
+    magnitude approximation (aecm_core_c.cc:316-341):
+    |z| ~= alpha*max(|re|,|im|) + beta*min(|re|,|im|) with (alpha, beta)
+    picked from 3 Q15 pairs by the max/min ratio.
 
     Returns (q_scaling, (re, im), magnitudes, magnitude_sum).
     """
@@ -640,9 +672,22 @@ def time_to_frequency_domain(time_signal):
 
     abs_re = jnp.abs(re)
     abs_im = jnp.abs(im)
-    # Interior bins: sqrt_floor(sat(re^2 + im^2)); edge/axis cases exact.
-    sq = spl.add_sat_w32(abs_re * abs_re, abs_im * abs_im)
-    mag_interior = spl.sqrt_floor(sq)
+    if abs_approx:
+        max_v = jnp.maximum(abs_re, abs_im)
+        min_v = jnp.minimum(abs_re, abs_im)
+        alpha = jnp.where((max_v >> 2) > min_v, I32(32584),
+                          jnp.where((max_v >> 1) > min_v, I32(30879),
+                                    I32(26951)))
+        beta = jnp.where((max_v >> 2) > min_v, I32(4249),
+                         jnp.where((max_v >> 1) > min_v, I32(11072),
+                                   I32(18927)))
+        mag_interior = (spl.to_w16((max_v * alpha) >> 15) & 0xFFFF) + (
+            spl.to_w16((min_v * beta) >> 15) & 0xFFFF)
+        mag_interior = mag_interior & 0xFFFF  # uint16_t sum wrap
+    else:
+        # Interior bins: sqrt_floor(sat(re^2 + im^2)); edge/axis cases exact.
+        sq = spl.add_sat_w32(abs_re * abs_re, abs_im * abs_im)
+        mag_interior = spl.sqrt_floor(sq)
     mag = jnp.where(re == 0, abs_im,
                     jnp.where(im == 0, abs_re, mag_interior))
     mag = mag.at[..., 0].set(abs_re[..., 0])
@@ -757,13 +802,16 @@ def comfort_noise(state: CoreState, dfa, efw_re, efw_im, lam):
 # ---------------------------------------------------------------------------
 
 def process_block(state: CoreState, farend, nearend_noisy,
-                  nearend_clean=None, mult: int = 1):
+                  nearend_clean=None, mult: int = 1,
+                  opts: Options = DEFAULT_OPTIONS):
     """WebRtcAecm_ProcessBlock: one 64-sample block through the full chain.
 
     Args:
       farend/nearend_noisy/nearend_clean: (64,) int32 int16-range samples.
       mult: static sample-rate multiplier (1 = 8 kHz, 2 = 16 kHz).
-    Returns (state, output (64,) int32).
+      opts: static Options (abs_approx / robust_validation / debug).
+    Returns (state, output (64,) int32) — plus a debug-taps dict when
+    opts.debug is set.
     """
     has_clean = nearend_clean is not None
 
@@ -781,15 +829,16 @@ def process_block(state: CoreState, farend, nearend_noisy,
         state = state._replace(
             d_buf_clean=state.d_buf_clean.at[D.PART_LEN:].set(nearend_clean))
 
-    far_q, _, xfa, xfa_sum = time_to_frequency_domain(state.x_buf)
+    far_q, _, xfa, xfa_sum = time_to_frequency_domain(state.x_buf,
+                                                      opts.abs_approx)
     zeros_d_noisy, dfw, dfa_noisy, dfa_noisy_sum = time_to_frequency_domain(
-        state.d_buf_noisy)
+        state.d_buf_noisy, opts.abs_approx)
     state = state._replace(dfa_noisy_q_old=state.dfa_noisy_q,
                            dfa_noisy_q=zeros_d_noisy)
 
     if has_clean:
         zeros_d_clean, dfw, dfa_clean, dfa_clean_sum = (
-            time_to_frequency_domain(state.d_buf_clean))
+            time_to_frequency_domain(state.d_buf_clean, opts.abs_approx))
         state = state._replace(dfa_clean_q_old=state.dfa_clean_q,
                                dfa_clean_q=zeros_d_clean)
         ptr_dfa_clean = dfa_clean
@@ -803,7 +852,8 @@ def process_block(state: CoreState, farend, nearend_noisy,
     state = state._replace(
         de_farend=de.add_far_spectrum_fix(state.de_farend, xfa, far_q))
     de_near, delay = de.process_fix(state.de_near, state.de_farend,
-                                    dfa_noisy, zeros_d_noisy)
+                                    dfa_noisy, zeros_d_noisy,
+                                    opts.robust_validation)
     state = state._replace(de_near=de_near)
     delay = jnp.where(delay == -2, I32(0), delay)
     delay = jnp.where(state.fixed_delay >= 0, state.fixed_delay, delay)
@@ -914,7 +964,23 @@ def process_block(state: CoreState, farend, nearend_noisy,
     efw_re = jnp.where(use_cng, cng_re, efw_re)
     efw_im = jnp.where(use_cng, cng_im, efw_im)
 
-    return inverse_fft_and_window(state, efw_re, efw_im, has_clean)
+    state, output = inverse_fft_and_window(state, efw_re, efw_im, has_clean)
+    if opts.debug:
+        # TPU equivalent of the AEC_DEBUG dumps + the unused-by-AECM delay
+        # quality metric (SURVEY.md §5 'Metrics / logging / observability').
+        taps = {
+            "hnl_q14": hnl,
+            "sup_gain_q8": sup_gain,
+            "mu": mu,
+            "delay_blocks": delay,
+            "vad_far": state.current_vad_value,
+            "near_log_energy_q8": state.near_log_energy[..., 0],
+            "echo_stored_log_energy_q8": state.echo_stored_log_energy[..., 0],
+            "delay_quality": de.last_delay_quality(
+                state.de_near, opts.robust_validation),
+        }
+        return state, output, taps
+    return state, output
 
 
 # ---------------------------------------------------------------------------
@@ -940,7 +1006,8 @@ def _place_at_fill(carry, frame, fill):
 
 
 def process_frame(state: CoreState, farend, nearend_noisy,
-                  nearend_clean=None, mult: int = 1):
+                  nearend_clean=None, mult: int = 1,
+                  opts: Options = DEFAULT_OPTIONS):
     """WebRtcAecm_ProcessFrame (aecm_core.cc:501-572): one 80-sample frame
     in, one frame out, re-blocked through 64-sample blocks.
 
@@ -988,15 +1055,24 @@ def process_frame(state: CoreState, farend, nearend_noisy,
 
     def scan_body(state, xs):
         far_b, noisy_b, clean_b, active = xs
-        new_state, out_block = process_block(
-            state, far_b, noisy_b, clean_b if has_clean else None, mult=mult)
+        res = process_block(
+            state, far_b, noisy_b, clean_b if has_clean else None,
+            mult=mult, opts=opts)
+        new_state, out_block = res[0], res[1]
         state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old), new_state, state)
-        return state, jnp.where(active, out_block, 0)
+        ys = jnp.where(active, out_block, 0)
+        if opts.debug:
+            return state, (ys, res[2])
+        return state, ys
 
-    state, out_blocks = jax.lax.scan(
+    state, ys = jax.lax.scan(
         scan_body, state, (blocks_far, blocks_noisy, blocks_clean,
                            active_mask))
+    if opts.debug:
+        out_blocks, taps = ys  # taps: (2, ...) stacked per block
+    else:
+        out_blocks = ys
 
     # Out side: place the 64k produced samples after the carried out_fill
     # samples, zero-stuff to 80 if short (first frames only), emit 80.
@@ -1029,4 +1105,6 @@ def process_frame(state: CoreState, farend, nearend_noisy,
     state = state._replace(out_carry=new_carry,
                            out_fill=avail + stuff - D.FRAME_LEN,
                            out_tail=out[..., -16:])
+    if opts.debug:
+        return state, out, taps
     return state, out
