@@ -96,3 +96,46 @@ def test_delay_estimator_robust_validation_matches_reference():
         ref = _run_reference(o, far, near, 8, 8, robust=1)
         ours = _run_ours(far, near, 8, 8, robust=True)
         np.testing.assert_array_equal(ours, ref, err_msg=f"delay={delay}")
+
+
+def _run_reference_float(o, far_stream, near_stream, robust=0):
+    lib = o.lib
+    farend = lib.ref_CreateDelayEstimatorFarend(65, 100)
+    est = lib.ref_CreateDelayEstimator(farend, 0)
+    lib.ref_InitDelayEstimatorFarend(farend)
+    lib.ref_InitDelayEstimator(est)
+    lib.ref_enable_robust_validation(est, robust)
+    delays = []
+    for f, n in zip(far_stream, near_stream):
+        assert lib.ref_AddFarSpectrumFloat(
+            farend, np.ascontiguousarray(f, np.float32), 65) == 0
+        delays.append(lib.ref_DelayEstimatorProcessFloat(
+            est, np.ascontiguousarray(n, np.float32), 65))
+    lib.ref_FreeDelayEstimator(est)
+    lib.ref_FreeDelayEstimatorFarend(farend)
+    return np.array(delays)
+
+
+def test_delay_estimator_float_matches_reference():
+    """Float wrapper entry points (delay_estimator_wrapper.cc:264-288,478-501)."""
+    o = get_oracle()
+    rng = np.random.default_rng(7)
+    far_stream, near_stream = _make_spectra(rng, 240, 11)
+    far_f = far_stream.astype(np.float32)
+    near_f = near_stream.astype(np.float32)
+    ref = _run_reference_float(o, far_f, near_f)
+
+    farend = de.create_farend(float_spectrum=True)
+    near = de.create_near(float_spectrum=True)
+
+    @jax.jit
+    def step(carry, inputs):
+        farend, near = carry
+        f, n = inputs
+        farend = de.add_far_spectrum_float(farend, f)
+        near, delay = de.process_float(near, farend, n)
+        return (farend, near), delay
+
+    (_, _), delays = jax.lax.scan(
+        step, (farend, near), (jnp.asarray(far_f), jnp.asarray(near_f)))
+    np.testing.assert_array_equal(np.asarray(delays), ref)

@@ -89,3 +89,37 @@ def test_cli_rejects_unsupported_rate(tmp_path):
     write_wav_int16(str(tmp_path / "b.wav"), np.zeros(100, np.int16), 44100)
     rc = cli_main([str(tmp_path / "a.wav"), str(tmp_path / "b.wav")])
     assert rc == 2
+
+
+def test_cli_batch_mode(tmp_path):
+    fs = 8000
+    rng = np.random.default_rng(7)
+    lines = []
+    scenes = []
+    for k in range(3):
+        n = fs // 2 + 80 * k
+        t = np.arange(n + 240)
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * t / (fs // 3))
+        ff = (env * rng.normal(0, 3000, t.shape)).clip(-30000, 30000)
+        far = ff[240:240 + n].astype(np.int16)
+        near = (0.4 * ff[:n]).clip(-32000, 32000).astype(np.int16)
+        fp, np_ = str(tmp_path / f"far{k}.wav"), str(tmp_path / f"near{k}.wav")
+        write_wav_int16(fp, far, fs)
+        write_wav_int16(np_, near, fs)
+        lines.append(f"{fp} {np_}")
+        scenes.append((far, near, n))
+    lst = str(tmp_path / "list.txt")
+    open(lst, "w").write("\n".join(lines) + "\n")
+    rc = cli_main(["--batch", lst, "--erle"])
+    assert rc == 0
+    for k, (far, near, n) in enumerate(scenes):
+        out, rate = read_wav_int16(str(tmp_path / f"near{k}_out.wav"))
+        assert rate == fs and len(out) == n
+
+    # batch output must equal the single-pair CLI output, pair by pair
+    rc = cli_main([lines[0].split()[0], lines[0].split()[1],
+                   "-o", str(tmp_path / "single0.wav")])
+    assert rc == 0
+    single, _ = read_wav_int16(str(tmp_path / "single0.wav"))
+    batch_out, _ = read_wav_int16(str(tmp_path / "near0_out.wav"))
+    np.testing.assert_array_equal(batch_out, single)

@@ -75,12 +75,12 @@ def main():
 
     # ---- skeleton decomposition: block stubbed ----
     orig_pb = core.process_block
-    core.process_block = lambda s, f, d, c=None, mult=1: (s, d)
+    core.process_block = lambda s, f, d, c=None, mult=1, opts=None: (s, d)
     base_skel = measure("skeleton (block stubbed)")
 
     # skeleton minus the whole process_frame (carries included)
     orig_pf = core.process_frame
-    core.process_frame = lambda s, f, d, c=None, mult=1: (s, d)
+    core.process_frame = lambda s, f, d, c=None, mult=1, opts=None: (s, d)
     measure("skeleton - process_frame entirely")
 
     # and additionally without buffer_farend's jitter write
@@ -90,6 +90,33 @@ def main():
     control.buffer_farend = orig_bf
     core.process_frame = orig_pf
     core.process_block = orig_pb
+
+    # full pipeline minus jitter-ring data ops (positions only)
+    from webrtc_aecm_tpu.ops import ring_buffer as rbuf
+    orig_read, orig_write = rbuf.read, rbuf.write
+    def fake_read(rb, count):
+        vals = rb.data[..., :count]
+        return vals, rbuf.move_read_ptr(rb, jnp.minimum(
+            rbuf.available_read(rb), count))
+    def fake_write(rb, values):
+        count = values.shape[-1]
+        n_write = jnp.minimum(rbuf.available_write(rb), count)
+        cap = rb.capacity
+        margin = cap - rb.write_pos
+        wrapped = n_write > margin
+        new_wp = jnp.where(wrapped, n_write - margin, rb.write_pos + n_write)
+        new_wrap = jnp.where(wrapped, jnp.int32(rbuf.DIFF_WRAP), rb.rw_wrap)
+        return rb._replace(write_pos=new_wp, rw_wrap=new_wrap)
+    rbuf.read, rbuf.write = fake_read, fake_write
+    measure("- jitter ring data movement")
+    rbuf.read, rbuf.write = orig_read, orig_write
+
+    # full pipeline minus FFT custom-vmap layout transposes: approximated by
+    # stubbing window_and_fft entirely
+    orig_wf = core.window_and_fft
+    core.window_and_fft = lambda ts, sc: (ts[..., :65], ts[..., 63:])
+    measure("- window_and_fft (both FFT dirs kept elsewhere)")
+    core.window_and_fft = orig_wf
 
 
 if __name__ == "__main__":

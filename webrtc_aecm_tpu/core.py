@@ -43,8 +43,8 @@ _SIN_360 = jnp.asarray(tables.SIN_TABLE_360)
 _BIN_INDEX = jnp.arange(D.PART_LEN1, dtype=I32)
 
 # 360-entry Q13 tables reshaped (24, 15) for the bilinear lookup below.
-_COS_360_2D = jnp.asarray(tables.COS_TABLE_360, jnp.float32).reshape(24, 15)
-_SIN_360_2D = jnp.asarray(tables.SIN_TABLE_360, jnp.float32).reshape(24, 15)
+_COS_360_2D = jnp.asarray(tables.COS_TABLE_360, I32).reshape(24, 15)
+_SIN_360_2D = jnp.asarray(tables.SIN_TABLE_360, I32).reshape(24, 15)
 
 
 def _phase_table_lookup(idx):
@@ -52,21 +52,21 @@ def _phase_table_lookup(idx):
 
     A vmapped dynamic gather costs ~0.5 ms flat per op on TPU; instead,
     with idx = 15*h + l (360 = 24*15), the lookup is
-    sum_{h,l} onehot_h * T[h,l] * onehot_l — two small matmul/reduce ops.
-    Exact: table values are integers |v| <= 8192, one-hots are 0/1, and all
-    f32 intermediate values are integers < 2^24.
+    sum_{h,l} onehot_h * T[h,l] * onehot_l — two masked-sum reductions.
+    All-integer on the VPU: a float matmul here would silently run at the
+    MXU's default bf16 precision (8 mantissa bits < the 13-bit Q13 values).
 
     Returns (cos, sin) int32 values from the Q13 tables.
     """
     h = idx // 15
     l = idx - 15 * h
-    oh_h = (h[..., None] == jnp.arange(24, dtype=I32)).astype(jnp.float32)
-    oh_l = (l[..., None] == jnp.arange(15, dtype=I32)).astype(jnp.float32)
-    cos_rows = oh_h @ _COS_360_2D           # (..., 15)
-    sin_rows = oh_h @ _SIN_360_2D
-    cos_v = jnp.sum(cos_rows * oh_l, axis=-1)
-    sin_v = jnp.sum(sin_rows * oh_l, axis=-1)
-    return cos_v.astype(I32), sin_v.astype(I32)
+    oh_h = h[..., None, None] == jnp.arange(24, dtype=I32)[:, None]  # (..,24,1)
+    oh_l = l[..., None] == jnp.arange(15, dtype=I32)                 # (..,15)
+    cos_rows = jnp.sum(jnp.where(oh_h, _COS_360_2D, 0), axis=-2)     # (..,15)
+    sin_rows = jnp.sum(jnp.where(oh_h, _SIN_360_2D, 0), axis=-2)
+    cos_v = jnp.sum(jnp.where(oh_l, cos_rows, 0), axis=-1)
+    sin_v = jnp.sum(jnp.where(oh_l, sin_rows, 0), axis=-1)
+    return cos_v, sin_v
 
 
 class Options(NamedTuple):

@@ -17,6 +17,7 @@ Semantics replicated exactly, including:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -28,14 +29,25 @@ SAME_WRAP = 0
 DIFF_WRAP = 1
 
 
+def _use_pallas(axis_size: int, data) -> bool:
+    """Batched ring data movement goes through the Pallas kernels on TPU;
+    the lax path remains for CPU tests, odd batch sizes, or nested maps."""
+    import os
+    if os.environ.get("AECM_DISABLE_PALLAS"):
+        return False
+    from .pallas_ring import STREAM_TILE
+    return (jax.default_backend() == "tpu" and data.ndim == 2
+            and axis_size % STREAM_TILE == 0)
+
+
+@jax.custom_batching.custom_vmap
 def _contig_write(data, pos, values, n_write):
     """Write values[:n_write] at [pos, pos+n_write) mod C — scatter-free.
 
     TPU lowers vmapped scatters to serial per-index loops (measured ~10x
-    slower than gathers), so the wrap-around write is expressed as a
-    dynamic roll of the (static-width) value vector plus an elementwise
-    select: `jnp.roll` with a traced shift lowers to concat+dynamic_slice,
-    which stays a contiguous vector op under `vmap`.
+    slower than gathers).  Single-stream path: dynamic roll of the
+    (static-width) value vector plus an elementwise select.  Batched path
+    (custom_vmap rule below): Pallas tile kernel at memory bandwidth.
     """
     cap = data.shape[-1]
     count = values.shape[-1]
@@ -47,12 +59,61 @@ def _contig_write(data, pos, values, n_write):
     return jnp.where(offset < n_write, rolled, data)
 
 
+@_contig_write.def_vmap
+def _contig_write_vmap(axis_size, in_batched, data, pos, values, n_write):
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x, (axis_size,) + jnp.shape(x))
+    data = bc(data, in_batched[0])
+    pos = bc(pos, in_batched[1])
+    values = bc(values, in_batched[2])
+    n_write = bc(n_write, in_batched[3])
+    if _use_pallas(axis_size, data):
+        from .pallas_ring import ring_write_tpu
+        out = ring_write_tpu(data, pos, values, n_write).astype(data.dtype)
+    else:
+        cap = data.shape[-1]
+        count = values.shape[-1]
+        padded = jnp.concatenate(
+            [values.astype(data.dtype),
+             jnp.zeros(values.shape[:-1] + (cap - count,), data.dtype)],
+            axis=-1)
+        rolled = jax.vmap(lambda v, p: jnp.roll(v, p, axis=-1))(padded, pos)
+        offset = (jnp.arange(cap, dtype=I32)[None, :] - pos[:, None]) % cap
+        out = jnp.where(offset < n_write[:, None], rolled, data)
+    return out, True
+
+
 def _contig_read(data, pos, count: int):
-    """Read `count` (static) values at [pos, pos+count) mod C — one
-    contiguous dynamic_slice on a doubled view (gathers are cheap on TPU;
-    only scatters are not)."""
-    doubled = jnp.concatenate([data, data[..., :count]], axis=-1)
-    return jax.lax.dynamic_slice_in_dim(doubled, pos, count, axis=-1)
+    """Read `count` (static) values at [pos, pos+count) mod C."""
+    return _contig_read_fn(count)(data, pos)
+
+
+@functools.lru_cache(maxsize=None)
+def _contig_read_fn(count: int):
+    @jax.custom_batching.custom_vmap
+    def read(data, pos):
+        doubled = jnp.concatenate([data, data[..., :count]], axis=-1)
+        return jax.lax.dynamic_slice_in_dim(doubled, pos, count, axis=-1)
+
+    @read.def_vmap
+    def _read_vmap(axis_size, in_batched, data, pos):
+        if not in_batched[0]:
+            data = jnp.broadcast_to(data, (axis_size,) + data.shape)
+        if not in_batched[1]:
+            pos = jnp.broadcast_to(pos, (axis_size,))
+        if _use_pallas(axis_size, data):
+            from .pallas_ring import ring_gather_tpu
+            out = ring_gather_tpu(data, pos, count).astype(data.dtype)
+        else:
+            doubled = jnp.concatenate([data, data[..., :count]], axis=-1)
+            out = jax.vmap(
+                lambda d, p: jax.lax.dynamic_slice_in_dim(d, p, count,
+                                                          axis=-1)
+            )(doubled, pos)
+        return out, True
+
+    return read
 
 
 class RingBuffer(NamedTuple):
