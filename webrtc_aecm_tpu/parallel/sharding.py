@@ -49,20 +49,28 @@ def shard_streams(tree, mesh: Mesh, axis_name: str = STREAM_AXIS):
 
 def make_sharded_step(sample_rate: int, mesh: Mesh, has_clean: bool = False,
                       axis_name: str = STREAM_AXIS):
-    """Jit the batched 10 ms step with explicit stream-axis shardings.
+    """Jit the batched 10 ms step sharded over the stream axis.
+
+    Uses `shard_map` (not GSPMD auto-partitioning): each device runs the
+    whole step on its local slice of streams — correct by construction for
+    an embarrassingly parallel batch, zero collectives, and it keeps the
+    Pallas ring kernels valid (a pallas_call inside an auto-partitioned
+    jit would be replicated or rejected; under shard_map it simply sees
+    the local batch).
 
     Returns a compiled callable `step(state, far, noisy[, clean], ms)` →
     `(state, out, warn)` whose inputs and outputs are all sharded on the
     stream axis — state stays resident and sharded across chips between
     calls, so the only per-call transfer is the audio frames.
     """
+    from jax.experimental.shard_map import shard_map
+
     from .batch import make_chunk_step
 
-    sh = stream_sharding(mesh, axis_name)
     step = make_chunk_step(sample_rate, has_clean)
+    spec = P(axis_name)
     n_args = 1 + (3 if has_clean else 2) + 1  # state + audio tensors + ms
-    # `sh` is a valid pytree prefix for the state argument: every leaf of
-    # the batched AecmState is sharded on its leading stream axis.
-    return jax.jit(step,
-                   in_shardings=tuple([sh] * n_args),
-                   out_shardings=(sh, sh, sh))
+    in_specs = tuple([spec] * n_args)  # pytree prefix: shard leading axis
+    sharded = shard_map(step, mesh=mesh, in_specs=in_specs,
+                        out_specs=(spec, spec, spec), check_rep=False)
+    return jax.jit(sharded)
