@@ -133,7 +133,10 @@ class CoreState(NamedTuple):
     # delay estimation (far history + estimator pytrees)
     de_farend: de.FarendState
     de_near: de.NearState
-    far_history: jnp.ndarray      # (MAX_DELAY, 65), newest at row 0
+    far_history: jnp.ndarray      # (MAX_DELAY, 65) uint16, newest at row 0
+                                  # (magnitudes are uint16 in the reference,
+                                  # aecm_core.h:64; 16-bit storage halves the
+                                  # dominant per-block HBM traffic)
     far_q_domains: jnp.ndarray    # (MAX_DELAY,), newest at index 0
     # runtime knobs (WebRtcAecm_Control, aecm_core.cc:477-482)
     nlp_flag: jnp.ndarray
@@ -245,7 +248,7 @@ def create_core(sample_rate: int = 8000) -> CoreState:
         seed=U32(666),
         de_farend=de.create_farend(),
         de_near=de.create_near(),
-        far_history=jnp.zeros((D.MAX_DELAY, D.PART_LEN1), I32),
+        far_history=jnp.zeros((D.MAX_DELAY, D.PART_LEN1), jnp.uint16),
         far_q_domains=jnp.zeros((D.MAX_DELAY,), I32),
         nlp_flag=I32(1),
         fixed_delay=I32(-1),
@@ -308,7 +311,8 @@ def update_far_history(state: CoreState, far_spectrum, far_q) -> CoreState:
         far_q_domains=jnp.concatenate(
             [far_q[None], state.far_q_domains[:-1]], axis=0),
         far_history=jnp.concatenate(
-            [far_spectrum[None, :], state.far_history[:-1]], axis=0),
+            [far_spectrum.astype(jnp.uint16)[None, :],
+             state.far_history[:-1]], axis=0),
     )
 
 
@@ -320,7 +324,8 @@ def aligned_farend(state: CoreState, delay):
     lowering), while the masked reduction is one VPU pass over the history.
     """
     oh = jnp.arange(D.MAX_DELAY, dtype=I32) == delay
-    xfa = jnp.sum(jnp.where(oh[:, None], state.far_history, 0), axis=0)
+    xfa = jnp.sum(jnp.where(oh[:, None], state.far_history.astype(I32), 0),
+                  axis=0)
     far_q = jnp.sum(jnp.where(oh, state.far_q_domains, 0), axis=0)
     return xfa, far_q
 
