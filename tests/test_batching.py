@@ -155,3 +155,28 @@ def test_pipeline_echo_path_roundtrip():
     pipe2 = AecmPipeline(3, 8000)
     pipe2.init_echo_paths(paths)
     np.testing.assert_array_equal(pipe2.get_echo_paths(), paths)
+
+
+def test_pipeline_reset_streams():
+    """Resetting one stream mid-call re-runs its startup; others continue
+    bit-identically to an undisturbed run."""
+    fs = 8000
+    far, near = _batch_scenes(3, 4000, fs, seed=9)
+    a = AecmPipeline(3, fs)
+    b = AecmPipeline(3, fs)
+
+    a.run(far[:, :2000], near[:, :2000])
+    b.run(far[:, :2000], near[:, :2000])
+    a.reset_streams([1])
+
+    out_a = np.asarray(a.run(far[:, 2000:], near[:, 2000:]), np.int16)
+    out_b = np.asarray(b.run(far[:, 2000:], near[:, 2000:]), np.int16)
+    # untouched streams identical
+    np.testing.assert_array_equal(out_a[0], out_b[0])
+    np.testing.assert_array_equal(out_a[2], out_b[2])
+    # reset stream re-enters startup passthrough (differs from continuation)
+    assert not np.array_equal(out_a[1], out_b[1])
+    # and matches a stream that was freshly created at that point
+    c = AecmPipeline(1, fs)
+    out_c = np.asarray(c.run(far[1:2, 2000:], near[1:2, 2000:]), np.int16)
+    np.testing.assert_array_equal(out_a[1], out_c[0])

@@ -72,6 +72,28 @@ class AecmPipeline:
                               (self.n_streams, 65))
         self.state = jax.jit(jax.vmap(control.init_echo_path))(self.state, ep)
 
+    def reset_streams(self, indices) -> None:
+        """Re-Init selected streams in place (a caller hung up / a new call
+        took the slot) without touching the other streams' state.
+
+        Equivalent to WebRtcAecm_Init on those slots
+        (echo_control_mobile.cc:142-191); the default config
+        {cngMode=on, echoMode=3} is restored for them.
+        """
+        mask = np.zeros((self.n_streams,), bool)
+        mask[np.asarray(indices)] = True
+        mask_dev = jnp.asarray(mask)
+        fresh = pbatch.create_batch(self.n_streams, self.sample_rate)
+
+        @jax.jit
+        def apply(cur, new, m):
+            def sel(a, b):
+                mm = m.reshape((self.n_streams,) + (1,) * (a.ndim - 1))
+                return jnp.where(mm, a, b)
+            return jax.tree_util.tree_map(sel, new, cur)
+
+        self.state = apply(self.state, fresh, mask_dev)
+
     # -- serving ------------------------------------------------------------
     def _get_step(self, has_clean: bool):
         if has_clean not in self._step:
