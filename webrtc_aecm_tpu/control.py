@@ -341,7 +341,8 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             return state._replace(core=core), out_frame
 
         state, ys = jax.lax.scan(
-            body, state, (frame_ids, noisy_frames, clean_frames))
+            body, state, (frame_ids, noisy_frames, clean_frames),
+            unroll=n_frames)
         if opts.debug:
             outs, taps = ys
             return state, jnp.reshape(outs, (out_len,)), taps

@@ -1071,9 +1071,12 @@ def process_frame(state: CoreState, farend, nearend_noisy,
             return state, (ys, res[2])
         return state, ys
 
+    # unroll=2: the two block iterations fuse into one loop body, so the
+    # carry stays live between blocks instead of round-tripping through HBM
+    # at the scan boundary (the body is still traced once).
     state, ys = jax.lax.scan(
         scan_body, state, (blocks_far, blocks_noisy, blocks_clean,
-                           active_mask))
+                           active_mask), unroll=2)
     if opts.debug:
         out_blocks, taps = ys  # taps: (2, ...) stacked per block
     else:
