@@ -180,3 +180,23 @@ def test_pipeline_reset_streams():
     c = AecmPipeline(1, fs)
     out_c = np.asarray(c.run(far[1:2, 2000:], near[1:2, 2000:]), np.int16)
     np.testing.assert_array_equal(out_a[1], out_c[0])
+
+
+def test_pipeline_checkpoint_resume(tmp_path):
+    """save()/load(): a resumed pipeline continues bit-identically."""
+    fs = 8000
+    far, near = _batch_scenes(2, 4000, fs, seed=11)
+    a = AecmPipeline(2, fs)
+    a.run(far[:, :2000], near[:, :2000])
+    ckpt = str(tmp_path / "state.npz")
+    a.save(ckpt)
+
+    b = AecmPipeline(2, fs)
+    b.load(ckpt)
+    out_a = np.asarray(a.run(far[:, 2000:], near[:, 2000:]), np.int16)
+    out_b = np.asarray(b.run(far[:, 2000:], near[:, 2000:]), np.int16)
+    np.testing.assert_array_equal(out_a, out_b)
+
+    c = AecmPipeline(3, fs)
+    with pytest.raises(ValueError):
+        c.load(ckpt)

@@ -52,21 +52,33 @@ def _phase_table_lookup(idx):
 
     A vmapped dynamic gather costs ~0.5 ms flat per op on TPU; instead,
     with idx = 15*h + l (360 = 24*15), the lookup is
-    sum_{h,l} onehot_h * T[h,l] * onehot_l — two masked-sum reductions.
-    All-integer on the VPU: a float matmul here would silently run at the
-    MXU's default bf16 precision (8 mantissa bits < the 13-bit Q13 values).
+    onehot_h @ T picking row h (an int8 MXU matmul), then a 15-wide masked
+    sum picking column l.
+
+    Exactness: the Q13 values are split v = hi*128 + lo with hi in
+    [-64, 64] and lo in [0, 127] — both int8 — and int8 x int8 -> int32
+    matmuls are exact on the MXU.  (A float matmul here would silently run
+    at bf16 precision — 8 mantissa bits < the 13-bit Q13 values — and a
+    plain masked sum materializes a (B, 64, 24, 15) intermediate in HBM.)
 
     Returns (cos, sin) int32 values from the Q13 tables.
     """
     h = idx // 15
     l = idx - 15 * h
-    oh_h = h[..., None, None] == jnp.arange(24, dtype=I32)[:, None]  # (..,24,1)
-    oh_l = l[..., None] == jnp.arange(15, dtype=I32)                 # (..,15)
-    cos_rows = jnp.sum(jnp.where(oh_h, _COS_360_2D, 0), axis=-2)     # (..,15)
-    sin_rows = jnp.sum(jnp.where(oh_h, _SIN_360_2D, 0), axis=-2)
-    cos_v = jnp.sum(jnp.where(oh_l, cos_rows, 0), axis=-1)
-    sin_v = jnp.sum(jnp.where(oh_l, sin_rows, 0), axis=-1)
-    return cos_v, sin_v
+    oh_h = (h[..., None] == jnp.arange(24, dtype=I32)).astype(jnp.int8)
+    oh_l = l[..., None] == jnp.arange(15, dtype=I32)
+    dims = (((oh_h.ndim - 1,), (0,)), ((), ()))
+
+    def lut(table):
+        hi = (table >> 7).astype(jnp.int8)
+        lo = (table & 127).astype(jnp.int8)
+        rows = (jax.lax.dot_general(oh_h, hi, dims,
+                                    preferred_element_type=I32) * 128
+                + jax.lax.dot_general(oh_h, lo, dims,
+                                      preferred_element_type=I32))
+        return jnp.sum(jnp.where(oh_l, rows, 0), axis=-1)
+
+    return lut(_COS_360_2D), lut(_SIN_360_2D)
 
 
 class Options(NamedTuple):

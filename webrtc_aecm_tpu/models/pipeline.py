@@ -72,6 +72,38 @@ class AecmPipeline:
                               (self.n_streams, 65))
         self.state = jax.jit(jax.vmap(control.init_echo_path))(self.state, ep)
 
+    # -- checkpoint / resume --------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the full serving state (all streams) to an .npz file.
+
+        Generalizes the reference's echo-path snapshot
+        (WebRtcAecm_GetEchoPath, echo_control_mobile.cc:481-532): the whole
+        fixed-shape state pytree IS the checkpoint — delay histories, NLMS
+        channel, noise floor, jitter ring, startup machine, everything.
+        """
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez_compressed(
+            path,
+            __meta__=np.array([self.n_streams, self.sample_rate]),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+    def load(self, path: str) -> None:
+        """Resume from a checkpoint written by save(); shapes must match
+        this pipeline's (n_streams, sample_rate)."""
+        data = np.load(path)
+        n, rate = data["__meta__"]
+        if (int(n), int(rate)) != (self.n_streams, self.sample_rate):
+            raise ValueError(
+                f"checkpoint is for {int(n)} streams @ {int(rate)} Hz, "
+                f"pipeline is {self.n_streams} @ {self.sample_rate}")
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        new_leaves = [jnp.asarray(data[f"leaf_{i}"]).astype(x.dtype)
+                      for i, x in enumerate(leaves)]
+        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        if self.mesh is not None:
+            state = psharding.shard_streams(state, self.mesh)
+        self.state = state
+
     def reset_streams(self, indices) -> None:
         """Re-Init selected streams in place (a caller hung up / a new call
         took the slot) without touching the other streams' state.
