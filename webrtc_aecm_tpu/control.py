@@ -85,7 +85,9 @@ def create(sample_rate: int = 8000) -> AecmState:
     """
     state = AecmState(
         core=core_mod.create_core(sample_rate),
-        farend_buf=rbuf.create(D.BUF_SIZE_SAMP),
+        # int16 storage: raw PCM fits, and the 4000-sample jitter ring is
+        # the largest per-stream buffer — 16-bit halves its HBM traffic.
+        farend_buf=rbuf.create(D.BUF_SIZE_SAMP, jnp.int16),
         farend_old=jnp.zeros((2, D.FRAME_LEN), I32),
         ec_startup=I32(1),
         check_buff_size=I32(1),

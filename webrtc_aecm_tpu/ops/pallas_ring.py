@@ -36,10 +36,11 @@ def _padded_width(C: int, n: int) -> int:
 def _gather_kernel(n: int, C: int, pos_ref, data_ref, out_ref, scratch):
     # NOTE: an unaligned lane concat feeding tpu.dynamic_rotate miscompiles
     # (verified vs interpret mode); assembling the doubled row through a
-    # VMEM scratch ref sidesteps it.
+    # VMEM scratch ref sidesteps it.  Compute is int32 in VMEM regardless
+    # of the (possibly int16) storage dtype — HBM traffic is what matters.
     i = pl.program_id(0)
-    scratch[:, :C] = data_ref[:]
-    scratch[:, C:C + n] = data_ref[:, :n]
+    scratch[:, :C] = data_ref[:].astype(I32)
+    scratch[:, C:C + n] = data_ref[:, :n].astype(I32)
     P = _padded_width(C, n)
     for s in range(STREAM_TILE):
         p = pos_ref[i * STREAM_TILE + s]
@@ -49,7 +50,7 @@ def _gather_kernel(n: int, C: int, pos_ref, data_ref, out_ref, scratch):
         # so express the left roll as a positive right roll by (P - p) % P.
         shift = jax.lax.rem(P - p, P)
         rolled = pltpu.roll(scratch[s, :].reshape(1, P), shift, axis=1)
-        out_ref[s, :] = rolled[0, :n]
+        out_ref[s, :] = rolled[0, :n].astype(out_ref.dtype)
 
 
 def ring_gather_tpu(data, pos, n: int):
@@ -70,9 +71,9 @@ def ring_gather_tpu(data, pos, n: int):
     )
     return pl.pallas_call(
         functools.partial(_gather_kernel, n, C),
-        out_shape=jax.ShapeDtypeStruct((B, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, n), data.dtype),
         grid_spec=grid_spec,
-    )(pos.astype(I32), data.astype(I32))
+    )(pos.astype(I32), data)
 
 
 def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
@@ -80,7 +81,7 @@ def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
     i = pl.program_id(0)
     P = _padded_width(C, n)
     lane2 = jax.lax.broadcasted_iota(I32, (1, P), 1)
-    scratch[:, :n] = vals_ref[:]
+    scratch[:, :n] = vals_ref[:].astype(I32)
     scratch[:, n:] = jnp.zeros((STREAM_TILE, P - n), I32)
     for s in range(STREAM_TILE):
         g = i * STREAM_TILE + s
@@ -89,13 +90,13 @@ def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
         # place vals at [p, p+w) in doubled coordinates (no wrap: p+n <= P)
         placed2 = pltpu.roll(scratch[s, :].reshape(1, P), p, axis=1)
         mask2 = (lane2 >= p) & (lane2 < p + w)
-        row = data_ref[s, :].reshape(1, C)
+        row = data_ref[s, :].reshape(1, C).astype(I32)
         new_row = jnp.where(mask2[:, :C], placed2[:, :C], row)
         # fold the wrapped region [C, C+n) back onto the head [0, n)
         head = jnp.where(mask2[:, C:C + n], placed2[:, C:C + n],
                          new_row[:, :n])
-        out_ref[s, :n] = head[0]
-        out_ref[s, n:] = new_row[0, n:]
+        out_ref[s, :n] = head[0].astype(out_ref.dtype)
+        out_ref[s, n:] = new_row[0, n:].astype(out_ref.dtype)
 
 
 def ring_write_tpu(data, pos, values, n_write):
@@ -119,7 +120,7 @@ def ring_write_tpu(data, pos, values, n_write):
     )
     return pl.pallas_call(
         functools.partial(_write_kernel, n, C),
-        out_shape=jax.ShapeDtypeStruct((B, C), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, C), data.dtype),
         grid_spec=grid_spec,
-    )(pos.astype(I32), n_write.astype(I32), data.astype(I32),
+    )(pos.astype(I32), n_write.astype(I32), data,
       values.astype(I32))

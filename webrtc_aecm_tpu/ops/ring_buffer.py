@@ -195,5 +195,6 @@ def read(rb: RingBuffer, count: int):
     readable = available_read(rb)
     n_read = jnp.minimum(readable, I32(count))
     mask = jnp.arange(count, dtype=I32) < n_read
-    values = jnp.where(mask, _contig_read(rb.data, rb.read_pos, count), 0)
+    values = jnp.where(mask, _contig_read(rb.data, rb.read_pos, count),
+                       0).astype(I32)
     return values, move_read_ptr(rb, n_read)
