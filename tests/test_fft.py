@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from webrtc_aecm_tpu.ops import fft
+from webrtc_aecm_tpu.ops import fft, spl
 from .oracle import get_oracle
 
 
@@ -70,3 +70,31 @@ def test_inverse_fft_vmap_scaling_is_per_stream():
     out, scale = jax.vmap(fft.real_inverse_fft)(res, ims)
     assert int(scale[0]) == s_big
     assert int(scale[1]) == s_small
+
+
+def test_real_inverse_fft_wraps_negated_int16_min():
+    """im = -32768 (reachable via CNG saturation) must wrap to -32768 in
+    the conjugate-symmetric tail, as the C int16 store does
+    (real_fft.c:84-90) — regression for a review finding."""
+    o = get_oracle()
+    rng = np.random.default_rng(123)
+    re = rng.integers(-2000, 2000, 65).astype(np.int32)
+    im = rng.integers(-2000, 2000, 65).astype(np.int32)
+    im[5] = -32768
+    im[33] = -32768
+    im[0] = 0
+    im[64] = 0
+    ccs = np.zeros(130, np.int16)
+    ccs[0::2] = re.astype(np.int16)
+    ccs[1::2] = im.astype(np.int16)
+    ref_out, ref_scale = o.real_inverse_fft(ccs)
+
+    ours_out, ours_scale = jax.jit(fft.real_inverse_fft)(
+        jnp.asarray(re), jnp.asarray(im))
+    assert int(ours_scale) == ref_scale
+    np.testing.assert_array_equal(
+        np.asarray(spl.to_w16(ours_out), np.int16), ref_out)
+    # batched rule must agree too
+    b_out, b_scale = jax.jit(jax.vmap(fft.real_inverse_fft))(
+        jnp.asarray(re)[None], jnp.asarray(im)[None])
+    np.testing.assert_array_equal(np.asarray(b_out[0]), np.asarray(ours_out))

@@ -667,8 +667,10 @@ def window_and_fft(time_signal, time_signal_scaling):
     fft_in = jnp.concatenate([win_a, win_b], axis=-1)
     re, im = fft.real_forward_fft(fft_in)
     # Conjugate bins 0..63 (bin 64's imag is zeroed by the caller anyway).
-    im = jnp.concatenate([-im[..., :D.PART_LEN], im[..., D.PART_LEN:]],
-                         axis=-1)
+    # to_w16 wraps like the C `imag = -imag` int16 store; forward-FFT imag
+    # of real input can't reach -32768 today, but keep the site wrap-safe.
+    im = jnp.concatenate([spl.to_w16(-im[..., :D.PART_LEN]),
+                          im[..., D.PART_LEN:]], axis=-1)
     return re, im
 
 
@@ -1005,18 +1007,21 @@ def process_block(state: CoreState, farend, nearend_noisy,
 # (aecm_core.cc:501-572)
 # ---------------------------------------------------------------------------
 
-def _place_at_fill(carry, frame, fill):
-    """concat(carry[:fill], frame) left-aligned in a 144-wide work buffer.
+def _place_at_fill(carry, payload, fill):
+    """concat(carry[:fill], payload) left-aligned in a work buffer of width
+    len(payload) + 64.
 
     fill is always one of {0,16,32,48}, so the dynamic placement is a 4-way
-    select of static concats — pure elementwise, no scatter/gather.
+    select of static concats — pure elementwise, no scatter/gather.  Used
+    for both the input carries (payload = 80-sample frame -> 144 wide) and
+    the output carry (payload = 128 samples of blocks -> 192 wide).
     """
-    pad = jnp.zeros((D.PART_LEN,), frame.dtype)
+    pad = jnp.zeros((D.PART_LEN,), payload.dtype)
     cands = jnp.stack([
-        jnp.concatenate([frame, pad], axis=-1),
-        jnp.concatenate([carry[..., :16], frame, pad[..., :48]], axis=-1),
-        jnp.concatenate([carry[..., :32], frame, pad[..., :32]], axis=-1),
-        jnp.concatenate([carry[..., :48], frame, pad[..., :16]], axis=-1),
+        jnp.concatenate([payload, pad], axis=-1),
+        jnp.concatenate([carry[..., :16], payload, pad[..., :48]], axis=-1),
+        jnp.concatenate([carry[..., :32], payload, pad[..., :32]], axis=-1),
+        jnp.concatenate([carry[..., :48], payload, pad[..., :16]], axis=-1),
     ], axis=0)
     sel = (fill >> 4)[..., None] == jnp.arange(4, dtype=I32)[:, None]
     return jnp.sum(jnp.where(sel, cands, 0), axis=0)
@@ -1099,19 +1104,8 @@ def process_frame(state: CoreState, farend, nearend_noisy,
     o = state.out_fill
     n_blocks = 1 + two_blocks.astype(I32)
     produced = jnp.concatenate([out_blocks[0], out_blocks[1]], axis=-1)
-    # 192-wide work buffer = carry[:o] ++ produced, via the same 4-way select.
-    pad192 = jnp.zeros((D.PART_LEN,), I32)
-    cands = jnp.stack([
-        jnp.concatenate([produced, pad192], axis=-1),
-        jnp.concatenate([state.out_carry[..., :16], produced,
-                         pad192[..., :48]], axis=-1),
-        jnp.concatenate([state.out_carry[..., :32], produced,
-                         pad192[..., :32]], axis=-1),
-        jnp.concatenate([state.out_carry[..., :48], produced,
-                         pad192[..., :16]], axis=-1),
-    ], axis=0)
-    sel = (o >> 4)[..., None] == jnp.arange(4, dtype=I32)[:, None]
-    work_out = jnp.sum(jnp.where(sel, cands, 0), axis=0)  # (192,)
+    # 192-wide work buffer = carry[:o] ++ produced, same 4-way select.
+    work_out = _place_at_fill(state.out_carry, produced, o)
 
     avail = o + n_blocks * D.PART_LEN
     stuff = jnp.maximum(I32(0), D.FRAME_LEN - avail)  # 0 or 16

@@ -264,8 +264,10 @@ def real_inverse_fft(re, im):
     right-shift applied by the variable-scaling IFFT.
     """
     # Conjugate-symmetric reconstruction of bins 65..127 from bins 63..1.
+    # The negation wraps like the C int16 store (real_fft.c:84-90):
+    # an imag of -32768 (reachable via CNG saturation) must stay -32768.
     tail_re = re[..., 1:-1][..., ::-1]
-    tail_im = -im[..., 1:-1][..., ::-1]
+    tail_im = spl.to_w16(-im[..., 1:-1][..., ::-1])
     fr = jnp.concatenate([re.astype(I32), tail_re.astype(I32)], axis=-1)
     fi = jnp.concatenate([im.astype(I32), tail_im.astype(I32)], axis=-1)
     fr = jnp.take(fr, BITREV_128, axis=-1)
@@ -284,7 +286,7 @@ def _real_inverse_fft_vmap(axis_size, in_batched, re, im):
     re_t = re.T.astype(I32)      # (65, B)
     im_t = im.T.astype(I32)
     tail_re = re_t[1:-1][::-1]
-    tail_im = -im_t[1:-1][::-1]
+    tail_im = spl.to_w16(-im_t[1:-1][::-1])  # int16 wrap, as in the primal
     fr = jnp.concatenate([re_t, tail_re], axis=0)
     fi = jnp.concatenate([im_t, tail_im], axis=0)
     fr = fr[BITREV_128, :]
