@@ -63,14 +63,12 @@ def make_sharded_step(sample_rate: int, mesh: Mesh, has_clean: bool = False,
     stream axis — state stays resident and sharded across chips between
     calls, so the only per-call transfer is the audio frames.
     """
-    from jax.experimental.shard_map import shard_map
-
     from .batch import make_chunk_step
 
     step = make_chunk_step(sample_rate, has_clean)
     spec = P(axis_name)
     n_args = 1 + (3 if has_clean else 2) + 1  # state + audio tensors + ms
     in_specs = tuple([spec] * n_args)  # pytree prefix: shard leading axis
-    sharded = shard_map(step, mesh=mesh, in_specs=in_specs,
-                        out_specs=(spec, spec, spec), check_rep=False)
+    sharded = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                            out_specs=(spec, spec, spec), check_vma=False)
     return jax.jit(sharded)
