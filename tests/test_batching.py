@@ -200,3 +200,32 @@ def test_pipeline_checkpoint_resume(tmp_path):
     c = AecmPipeline(3, fs)
     with pytest.raises(ValueError):
         c.load(ckpt)
+
+
+def test_sharded_step_with_clean_input():
+    """make_sharded_step(has_clean=True) equals the unsharded clean path."""
+    fs = 8000
+    n_streams = 8
+    far, near = _batch_scenes(n_streams, 1600, fs, seed=13)
+    clean = near  # reference demo passes the same buffer
+
+    mesh = make_mesh()
+    sstate = shard_streams(create_batch(n_streams, fs), mesh)
+    step = make_sharded_step(fs, mesh, has_clean=True)
+    ms = shard_streams(jnp.full((n_streams,), 40, jnp.int32), mesh)
+    sfar = shard_streams(jnp.asarray(far, jnp.int32), mesh)
+    snear = shard_streams(jnp.asarray(near, jnp.int32), mesh)
+    sclean = shard_streams(jnp.asarray(clean, jnp.int32), mesh)
+
+    ref_state = create_batch(n_streams, fs)
+    ref_step = jax.jit(make_chunk_step(fs, has_clean=True))
+    ms_ref = jnp.full((n_streams,), 40, jnp.int32)
+
+    for i in range(1600 // 80):
+        sl = slice(i * 80, (i + 1) * 80)
+        sstate, s_out, _ = step(sstate, sfar[:, sl], snear[:, sl],
+                                sclean[:, sl], ms)
+        ref_state, r_out, _ = ref_step(ref_state, far[:, sl], near[:, sl],
+                                       clean[:, sl], ms_ref)
+        np.testing.assert_array_equal(np.asarray(s_out), np.asarray(r_out),
+                                      err_msg=f"chunk {i}")
