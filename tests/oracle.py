@@ -119,6 +119,20 @@ class Oracle:
         lib.ref_InitDelayEstimatorFarend.argtypes = [ct.c_void_p]
         lib.ref_InitDelayEstimator.argtypes = [ct.c_void_p]
         lib.ref_enable_robust_validation.argtypes = [ct.c_void_p, ct.c_int]
+        for name in ("ref_set_history_size", "ref_set_lookahead",
+                     "ref_set_allowed_offset", "ref_SoftResetDelayEstimator"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_int
+            fn.argtypes = [ct.c_void_p, ct.c_int]
+        for name in ("ref_history_size", "ref_lookahead",
+                     "ref_get_allowed_offset",
+                     "ref_is_robust_validation_enabled"):
+            fn = getattr(lib, name)
+            fn.restype = ct.c_int
+            fn.argtypes = [ct.c_void_p]
+        lib.ref_SoftResetDelayEstimatorFarend.restype = None
+        lib.ref_SoftResetDelayEstimatorFarend.argtypes = [ct.c_void_p,
+                                                          ct.c_int]
         lib.ref_AddFarSpectrumFix.restype = ct.c_int
         lib.ref_AddFarSpectrumFix.argtypes = [
             ct.c_void_p, np.ctypeslib.ndpointer(np.uint16, flags="C"),
@@ -178,15 +192,18 @@ class Oracle:
     def sqrt_floor(self, v):
         return self.lib.WebRtcSpl_SqrtFloor(int(v))
 
-    def real_forward_fft(self, x128: np.ndarray):
-        h = self.lib.WebRtcSpl_CreateRealFFT(7)
-        out = np.zeros(130, dtype=np.int16)
-        res = self.lib.WebRtcSpl_RealForwardFFT(h, np.ascontiguousarray(x128, np.int16), out)
-        return out.reshape(65, 2), res
+    def real_forward_fft(self, x128: np.ndarray, order: int = 7):
+        n = 1 << order
+        h = self.lib.WebRtcSpl_CreateRealFFT(order)
+        out = np.zeros(n + 2, dtype=np.int16)
+        res = self.lib.WebRtcSpl_RealForwardFFT(
+            h, np.ascontiguousarray(x128, np.int16), out)
+        return out.reshape(n // 2 + 1, 2), res
 
-    def real_inverse_fft(self, ccs130: np.ndarray):
-        h = self.lib.WebRtcSpl_CreateRealFFT(7)
-        out = np.zeros(128, dtype=np.int16)
+    def real_inverse_fft(self, ccs130: np.ndarray, order: int = 7):
+        n = 1 << order
+        h = self.lib.WebRtcSpl_CreateRealFFT(order)
+        out = np.zeros(n, dtype=np.int16)
         scale = self.lib.WebRtcSpl_RealInverseFFT(
             h, np.ascontiguousarray(ccs130, np.int16), out)
         return out, scale

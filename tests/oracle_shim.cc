@@ -31,6 +31,27 @@ int ref_AddFarSpectrumFloat(void* h, const float* s, int n) {
 int ref_DelayEstimatorProcessFloat(void* h, const float* s, int n) {
   return WebRtc_DelayEstimatorProcessFloat(h, s, n);
 }
+int ref_set_history_size(void* h, int history_size) {
+  return WebRtc_set_history_size(h, history_size);
+}
+int ref_history_size(void* h) { return WebRtc_history_size(h); }
+int ref_set_lookahead(void* h, int lookahead) {
+  return WebRtc_set_lookahead(h, lookahead);
+}
+int ref_lookahead(void* h) { return WebRtc_lookahead(h); }
+int ref_set_allowed_offset(void* h, int allowed_offset) {
+  return WebRtc_set_allowed_offset(h, allowed_offset);
+}
+int ref_get_allowed_offset(void* h) { return WebRtc_get_allowed_offset(h); }
+int ref_is_robust_validation_enabled(void* h) {
+  return WebRtc_is_robust_validation_enabled(h);
+}
+int ref_SoftResetDelayEstimator(void* h, int delay_shift) {
+  return WebRtc_SoftResetDelayEstimator(h, delay_shift);
+}
+void ref_SoftResetDelayEstimatorFarend(void* h, int delay_shift) {
+  WebRtc_SoftResetDelayEstimatorFarend(h, delay_shift);
+}
 int ref_last_delay(void* h) { return WebRtc_last_delay(h); }
 float ref_last_delay_quality(void* h) { return WebRtc_last_delay_quality(h); }
 void ref_FreeDelayEstimator(void* h) { WebRtc_FreeDelayEstimator(h); }

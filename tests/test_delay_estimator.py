@@ -38,14 +38,16 @@ def _run_reference(o, far_stream, near_stream, far_q, near_q, robust=0):
 def _run_ours(far_stream, near_stream, far_q, near_q, robust=False):
     farend = de.create_farend()
     near = de.create_near()
+    if robust:
+        near, ret = de.enable_robust_validation(near, 1)
+        assert int(ret) == 0
 
     @jax.jit
     def step(carry, inputs):
         farend, near = carry
         f, n = inputs
         farend = de.add_far_spectrum_fix(farend, f, jnp.int32(far_q))
-        near, delay = de.process_fix(near, farend, n, jnp.int32(near_q),
-                                     robust_validation=robust)
+        near, delay = de.process_fix(near, farend, n, jnp.int32(near_q))
         return (farend, near), delay
 
     (_, _), delays = jax.lax.scan(

@@ -116,3 +116,16 @@ def test_api_validation_errors():
     with pytest.raises(AecmError) as e:
         inst.init_echo_path(np.zeros(64, np.int16))  # wrong size
     assert e.value.code == AECM_BAD_PARAMETER_ERROR
+
+
+def test_get_buffer_farend_error_standalone():
+    """WebRtcAecm_GetBufferFarendError as a separately callable check
+    (echo_control_mobile.cc:195-213)."""
+    inst = AecmInstance(16000)
+    assert inst.get_buffer_farend_error(None) == AECM_NULL_POINTER_ERROR
+    assert inst.get_buffer_farend_error(
+        np.zeros(100, np.int16)) == AECM_BAD_PARAMETER_ERROR
+    assert inst.get_buffer_farend_error(
+        np.zeros(80, np.int16), 77) == AECM_BAD_PARAMETER_ERROR
+    assert inst.get_buffer_farend_error(np.zeros(80, np.int16)) == 0
+    assert inst.get_buffer_farend_error(np.zeros(160, np.int16)) == 0

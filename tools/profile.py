@@ -1,0 +1,290 @@
+"""Unified profiler for the serving pipeline.
+
+Subcommands (run on the real TPU — ambient JAX_PLATFORMS=axon — unless
+you explicitly want CPU numbers):
+
+    python tools/profile.py components   # per-layer microbenchmarks (vmap B)
+    python tools/profile.py ablate       # stage ablation on the REAL graph
+    python tools/profile.py skeleton     # control-layer floor (block stubbed)
+
+Env: B (batch size, default 1024), ITERS (scan length, default 30).
+
+Methodology note (docs/PERFORMANCE.md): `components` times ops in
+isolation, which MISLEADS for (B,65)-sized ops — XLA fuses them into
+neighbors in the real graph.  Trust `ablate` (stub a stage inside the
+full serving step, measure the delta) for optimization decisions.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+B = int(os.environ.get("B", "1024"))
+ITERS = int(os.environ.get("ITERS", "30"))
+
+
+def timeit(fn, args, n=20, name=""):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.monotonic() - t0) / n
+    print(f"{name:44s} {dt * 1e3:9.3f} ms", flush=True)
+    return dt
+
+
+def timeit_scan(step, init, args, n=ITERS, reps=3):
+    """Amortized per-chunk time of `step` scanned n times (real serving
+    shape: state threads through, XLA fuses across the chunk)."""
+    import jax
+
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            s, out, w = step(c, *args)
+            return s, None
+        c, _ = jax.lax.scan(body, carry, None, length=n)
+        return c
+
+    t0 = time.monotonic()
+    out = run(init)
+    jax.block_until_ready(out)
+    compile_s = time.monotonic() - t0
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.monotonic()
+        out = run(init)
+        jax.block_until_ready(out)
+        best = min(best, time.monotonic() - t0)
+    return best / n, compile_s
+
+
+def _serving_step():
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu.parallel import batch as pbatch
+    rng = np.random.default_rng(0)
+    chunk16 = jnp.asarray(rng.integers(-3000, 3000, (B, 160)), jnp.int32)
+    ms = jnp.full((B,), 40, jnp.int32)
+    st16 = pbatch.create_batch(B, 16000)
+    step = pbatch.make_chunk_step(16000)
+    return step, st16, (chunk16, chunk16, ms)
+
+
+def cmd_ablate():
+    """Stub one stage at a time inside the full 16 kHz serving step; the
+    delta vs baseline is that stage's true (fused) cost."""
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import core
+    from webrtc_aecm_tpu import delay_estimator as de
+
+    I32 = jnp.int32
+    step, st16, args = _serving_step()
+    print(f"backend={jax.default_backend()} B={B} iters={ITERS}", flush=True)
+
+    def measure(name):
+        per, comp = timeit_scan(step, st16, args)
+        print(f"{name:44s} {per * 1e3:8.3f} ms/chunk (compile {comp:5.1f}s)",
+              flush=True)
+        return per
+
+    measure("baseline (full)")
+
+    orig = de.process_fix, de.add_far_spectrum_fix
+    de.process_fix = lambda s, f, ns, q: (s, jnp.asarray(0, I32))
+    de.add_far_spectrum_fix = lambda s, sp, q: s
+    measure("- delay estimator")
+    de.process_fix, de.add_far_spectrum_fix = orig
+
+    o = core.comfort_noise
+    core.comfort_noise = lambda s, dfa, r, i, l: (s, r, i)
+    measure("- comfort noise (entire)")
+    core.comfort_noise = o
+
+    o = core.update_channel
+    core.update_channel = lambda s, f, q, dfa, mu, e: (s, e)
+    measure("- update_channel")
+    core.update_channel = o
+
+    o = core.calc_energies
+    core.calc_energies = lambda s, f, q, n: (s, f * s.channel_stored)
+    measure("- calc_energies")
+    core.calc_energies = o
+
+    o = core.inverse_fft_and_window
+    core.inverse_fft_and_window = (
+        lambda state, r, i, hc: (state, (r[..., :64] + i[..., :64]) & 0x7FFF))
+    measure("- inverse FFT/OLA")
+    core.inverse_fft_and_window = o
+
+    o = core.update_far_history
+    core.update_far_history = lambda s, sp, q: s
+    measure("- far_history shift")
+    core.update_far_history = o
+
+    o = core.aligned_farend
+    core.aligned_farend = lambda s, d: (s.far_history[0],
+                                        s.far_q_domains[0])
+    measure("- aligned_farend masked sum")
+    core.aligned_farend = o
+
+    o = core.calc_suppression_gain
+    core.calc_suppression_gain = lambda s: (s, s.sup_gain)
+    measure("- calc_suppression_gain")
+    core.calc_suppression_gain = o
+
+    o = core._phase_table_lookup
+    core._phase_table_lookup = lambda idx: (idx & 0xFFF, idx & 0xFFF)
+    measure("- CNG phase table lookup only")
+    core._phase_table_lookup = o
+
+
+def cmd_skeleton():
+    """Control-layer floor: stub the whole block path, then peel the
+    frame/jitter-buffer machinery piece by piece."""
+    import jax
+    from webrtc_aecm_tpu import control, core
+    from webrtc_aecm_tpu.ops import ring_buffer as rbuf
+
+    step, st16, args = _serving_step()
+    print(f"backend={jax.default_backend()} B={B} iters={ITERS}", flush=True)
+
+    def measure(name):
+        per, comp = timeit_scan(step, st16, args)
+        print(f"{name:44s} {per * 1e3:8.3f} ms/chunk (compile {comp:5.1f}s)",
+              flush=True)
+        return per
+
+    measure("baseline (full)")
+
+    orig_pb = core.process_block
+    core.process_block = lambda s, f, d, c=None, mult=1, opts=None: (s, d)
+    measure("skeleton (block stubbed)")
+
+    orig_ebd = control._est_buf_delay
+    control._est_buf_delay = lambda s, m: s
+    measure("skeleton - est_buf_delay")
+    control._est_buf_delay = orig_ebd
+
+    orig_read = rbuf.read
+    rbuf.read = lambda rb, count: (rb.data[..., :count], rb)
+    measure("skeleton - jitter reads (static stub)")
+    rbuf.read = orig_read
+
+    orig_dc = control._delay_comp
+    control._delay_comp = lambda s, m: s
+    measure("skeleton - delay_comp")
+    control._delay_comp = orig_dc
+
+    orig_w = rbuf.write
+    rbuf.write = lambda rb, v: rb
+    measure("skeleton - jitter write")
+    rbuf.write = orig_w
+
+    core.process_block = orig_pb
+
+
+def cmd_components():
+    """Isolated per-layer timings (see misleading-isolation caveat above)."""
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import control, core
+    from webrtc_aecm_tpu import delay_estimator as de
+    from webrtc_aecm_tpu.ops import fft, ring_buffer as rbuf
+    from webrtc_aecm_tpu.parallel import batch as pbatch
+
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} B={B}")
+
+    blk = jnp.asarray(rng.integers(-3000, 3000, (B, 64)), jnp.int32)
+    frame = jnp.asarray(rng.integers(-3000, 3000, (B, 80)), jnp.int32)
+    chunk16 = jnp.asarray(rng.integers(-3000, 3000, (B, 160)), jnp.int32)
+    sig128 = jnp.asarray(rng.integers(-3000, 3000, (B, 128)), jnp.int32)
+    spec = jnp.asarray(rng.integers(0, 4000, (B, 65)), jnp.int32)
+    q = jnp.zeros((B,), jnp.int32)
+    ms = jnp.full((B,), 40, jnp.int32)
+
+    st16 = pbatch.create_batch(B, 16000)
+    step16 = jax.jit(pbatch.make_chunk_step(16000))
+    timeit(step16, (st16, chunk16, chunk16, ms),
+           name="chunk_step_16k (2 frames)")
+
+    st8 = pbatch.create_batch(B, 8000)
+    proc8 = jax.jit(jax.vmap(
+        lambda s, d, m: control.process(s, d, None, 80, m, 8000)))
+    timeit(proc8, (st8, frame, ms), name="control.process 8k (1 frame)")
+
+    bf8 = jax.jit(jax.vmap(lambda s, f: control.buffer_farend(s, f, 1)))
+    timeit(bf8, (st8, frame), name="control.buffer_farend 8k")
+
+    cst = jax.vmap(lambda _: core.create_core(8000))(jnp.arange(B))
+    pf = jax.jit(jax.vmap(
+        lambda s, f, d: core.process_frame(s, f, d, None, 1)))
+    timeit(pf, (cst, frame, frame), name="core.process_frame (<=2 blocks)")
+
+    pb = jax.jit(jax.vmap(
+        lambda s, f, d: core.process_block(s, f, d, None, 1)))
+    timeit(pb, (cst, blk, blk), name="core.process_block")
+
+    f_fwd = jax.jit(fft.real_forward_fft)
+    timeit(f_fwd, (sig128,), name="real_forward_fft")
+    re65 = jnp.asarray(rng.integers(-3000, 3000, (B, 65)), jnp.int32)
+    f_inv = jax.jit(fft.real_inverse_fft)
+    timeit(f_inv, (re65, re65), name="real_inverse_fft")
+
+    t2f = jax.jit(jax.vmap(core.time_to_frequency_domain))
+    timeit(t2f, (sig128,), name="time_to_frequency_domain")
+
+    fe = jax.vmap(lambda _: de.create_farend())(jnp.arange(B))
+    ne = jax.vmap(lambda _: de.create_near())(jnp.arange(B))
+    add_far = jax.jit(jax.vmap(de.add_far_spectrum_fix))
+    timeit(add_far, (fe, spec, q), name="de.add_far_spectrum_fix")
+    proc_de = jax.jit(jax.vmap(de.process_fix))
+    timeit(proc_de, (ne, fe, spec, q), name="de.process_fix")
+
+    ce = jax.jit(jax.vmap(
+        lambda s, f, q_, n: core.calc_energies(s, f, q_, n)))
+    nsum = jnp.sum(spec, axis=-1).astype(jnp.uint32)
+    timeit(ce, (cst, spec, q, nsum), name="core.calc_energies")
+    est = spec * 100
+    uc = jax.jit(jax.vmap(
+        lambda s, f, q_, d, m, e: core.update_channel(s, f, q_, d, m, e)))
+    mu = jnp.full((B,), 2, jnp.int32)
+    timeit(uc, (cst, spec, q, spec, mu, est), name="core.update_channel")
+
+    cn = jax.jit(jax.vmap(
+        lambda s, d, r, i, l: core.comfort_noise(s, d, r, i, l)))
+    lam = jnp.full((B, 65), 8000, jnp.int32)
+    timeit(cn, (cst, spec, re65, re65, lam), name="core.comfort_noise")
+
+    rb = jax.vmap(lambda _: rbuf.create(4000))(jnp.arange(B))
+    w = jax.jit(jax.vmap(rbuf.write))
+    timeit(w, (rb, frame), name="rbuf.write (cap 4000, n=80)")
+    r = jax.jit(jax.vmap(lambda b: rbuf.read(b, 80)))
+    timeit(r, (rb,), name="rbuf.read (cap 4000, n=80)")
+
+    uh = jax.jit(jax.vmap(core.update_far_history))
+    timeit(uh, (cst, spec, q), name="core.update_far_history")
+    af = jax.jit(jax.vmap(core.aligned_farend))
+    dly = jnp.full((B,), 5, jnp.int32)
+    timeit(af, (cst, dly), name="core.aligned_farend")
+
+
+def main():
+    cmds = {"components": cmd_components, "ablate": cmd_ablate,
+            "skeleton": cmd_skeleton}
+    which = sys.argv[1] if len(sys.argv) > 1 else "ablate"
+    if which not in cmds:
+        print(f"usage: python tools/profile.py [{'|'.join(cmds)}]")
+        sys.exit(2)
+    cmds[which]()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,12 @@ class AecmInstance:
         self.opts = core_mod.Options(abs_approx=abs_approx,
                                      robust_validation=robust_validation)
         self.state = control.create(sample_rate)
+        if robust_validation:
+            from . import delay_estimator as de
+            de_near, _ = de.enable_robust_validation(
+                self.state.core.de_near, 1)
+            self.state = self.state._replace(
+                core=self.state.core._replace(de_near=de_near))
         self.set_config(cng_mode, echo_mode)
         self._jitted = {}
 
@@ -84,8 +90,7 @@ class AecmInstance:
         """WebRtc_last_delay_quality (delay_estimator_wrapper.cc:513-517):
         reliability in [0, 1] of the current delay estimate."""
         from . import delay_estimator as de
-        return float(de.last_delay_quality(
-            self.state.core.de_near, self.opts.robust_validation))
+        return float(de.last_delay_quality(self.state.core.de_near))
 
     # -- config ------------------------------------------------------------
     def set_config(self, cng_mode: int, echo_mode: int) -> None:
@@ -109,10 +114,24 @@ class AecmInstance:
         if n not in (80, 160):
             raise AecmError(AECM_BAD_PARAMETER_ERROR)
 
+    def get_buffer_farend_error(self, farend, n_samples: int = None) -> int:
+        """WebRtcAecm_GetBufferFarendError (echo_control_mobile.cc:195-213):
+        standalone validation, 0 when BufferFarend would accept the call.
+        (The uninitialized case cannot arise here: construction = Create+Init,
+        so the kInitCheck branch is structurally always satisfied.)"""
+        if farend is None:
+            return AECM_NULL_POINTER_ERROR
+        if n_samples is None:
+            n_samples = np.asarray(farend).shape[-1]
+        if n_samples not in (80, 160):
+            return AECM_BAD_PARAMETER_ERROR
+        return 0
+
     def buffer_farend(self, farend) -> None:
         """WebRtcAecm_BufferFarend (+ GetBufferFarendError validation)."""
-        if farend is None:
-            raise AecmError(AECM_NULL_POINTER_ERROR)
+        err = self.get_buffer_farend_error(farend)
+        if err != 0:
+            raise AecmError(err)
         farend = np.asarray(farend)
         self._validate_len(farend.shape[-1])
         key = ("buf", farend.shape[-1])

@@ -87,7 +87,11 @@ class Options(NamedTuple):
 
     abs_approx: AECM_WITH_ABS_APPROX magnitude approximation
         (aecm_core_c.cc:34-47, 316-341).
-    robust_validation: WebRtc_enable_robust_validation; the reference
+    robust_validation: seed for the RUNTIME robust-validation toggle
+        (WebRtc_enable_robust_validation) — the live flag is traced state
+        (`NearState.robust_validation_enabled`, togglable per stream via
+        delay_estimator.enable_robust_validation); this option only sets
+        its initial value at instance construction.  The reference
         explicitly disables it for AECM (aecm_core.cc:225).
     debug: when True, the block step also returns a dict of debug taps
         (the TPU equivalent of the reference's AEC_DEBUG dump files,
@@ -871,8 +875,7 @@ def process_block(state: CoreState, farend, nearend_noisy,
     state = state._replace(
         de_farend=de.add_far_spectrum_fix(state.de_farend, xfa, far_q))
     de_near, delay = de.process_fix(state.de_near, state.de_farend,
-                                    dfa_noisy, zeros_d_noisy,
-                                    opts.robust_validation)
+                                    dfa_noisy, zeros_d_noisy)
     state = state._replace(de_near=de_near)
     delay = jnp.where(delay == -2, I32(0), delay)
     delay = jnp.where(state.fixed_delay >= 0, state.fixed_delay, delay)
@@ -995,8 +998,7 @@ def process_block(state: CoreState, farend, nearend_noisy,
             "vad_far": state.current_vad_value,
             "near_log_energy_q8": state.near_log_energy[..., 0],
             "echo_stored_log_energy_q8": state.echo_stored_log_energy[..., 0],
-            "delay_quality": de.last_delay_quality(
-                state.de_near, opts.robust_validation),
+            "delay_quality": de.last_delay_quality(state.de_near),
         }
         return state, output, taps
     return state, output

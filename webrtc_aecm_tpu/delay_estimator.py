@@ -61,6 +61,7 @@ class NearState(NamedTuple):
     last_delay_histogram: jnp.ndarray  # float32
     allowed_offset: jnp.ndarray      # int32
     lookahead: jnp.ndarray           # int32 (runtime, <= static history dim)
+    robust_validation_enabled: jnp.ndarray  # int32 bool (runtime toggle)
 
 
 def create_farend(history_size: int = D.MAX_DELAY,
@@ -79,9 +80,11 @@ def create_farend(history_size: int = D.MAX_DELAY,
 def create_near(history_size: int = D.MAX_DELAY,
                 spectrum_size: int = D.PART_LEN1,
                 max_lookahead: int = 0,
-                float_spectrum: bool = False) -> NearState:
+                float_spectrum: bool = False,
+                robust_validation: bool = False) -> NearState:
     """WebRtc_CreateDelayEstimator + Init (delay_estimator_wrapper.cc:306-355,
-    delay_estimator.cc:408-504)."""
+    delay_estimator.cc:408-504).  robust_validation seeds the runtime
+    toggle (disabled by default, delay_estimator.cc:475)."""
     mean_dtype = F32 if float_spectrum else I32
     return NearState(
         mean_spectrum=jnp.zeros((spectrum_size,), dtype=mean_dtype),
@@ -99,7 +102,140 @@ def create_near(history_size: int = D.MAX_DELAY,
         last_delay_histogram=F32(0.0),
         allowed_offset=I32(0),
         lookahead=I32(max_lookahead),
+        robust_validation_enabled=I32(1 if robust_validation else 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime reconfiguration + soft resets (wrapper config surface,
+# delay_estimator_wrapper.cc:227-445)
+# ---------------------------------------------------------------------------
+
+def soft_reset_farend(state: FarendState, delay_shift) -> FarendState:
+    """WebRtc_SoftResetDelayEstimatorFarend (delay_estimator_wrapper.cc:227,
+    delay_estimator.cc:336-367): shift far histories by delay_shift blocks
+    and zero-pad; delay_shift may be a traced int32."""
+    history_size = state.binary_history.shape[-1]
+    shift = jnp.asarray(delay_shift, I32)
+    idx = jnp.arange(history_size, dtype=I32) - shift
+    valid = (idx >= 0) & (idx < history_size)
+    idx = jnp.clip(idx, 0, history_size - 1)
+
+    def shifted(a):
+        return jnp.where(valid, a[..., idx], jnp.zeros((), a.dtype))
+
+    return state._replace(binary_history=shifted(state.binary_history),
+                          bit_counts=shifted(state.bit_counts))
+
+
+def soft_reset_near(state: NearState, delay_shift):
+    """WebRtc_SoftResetDelayEstimator (delay_estimator_wrapper.cc:357,
+    delay_estimator.cc:506-519): absorb delay_shift into the lookahead,
+    clamped to [0, near_history_size-1].  Returns (state, applied_shift)
+    where applied_shift = old_lookahead - new_lookahead."""
+    near_history_size = state.binary_history.shape[-1]
+    old = state.lookahead
+    new = jnp.clip(old - jnp.asarray(delay_shift, I32), 0,
+                   near_history_size - 1)
+    return state._replace(lookahead=new), old - new
+
+
+def set_lookahead(state: NearState, lookahead):
+    """WebRtc_set_lookahead (delay_estimator_wrapper.cc:386-397).
+    Returns (state, result) with result == new lookahead, or -1 (state
+    unchanged) if out of [0, near_history_size-1]."""
+    near_history_size = state.binary_history.shape[-1]
+    la = jnp.asarray(lookahead, I32)
+    valid = (la >= 0) & (la <= near_history_size - 1)
+    return (state._replace(lookahead=jnp.where(valid, la, state.lookahead)),
+            jnp.where(valid, la, I32(-1)))
+
+
+def lookahead(state: NearState):
+    """WebRtc_lookahead (delay_estimator_wrapper.cc:399-404)."""
+    return state.lookahead
+
+
+def set_allowed_offset(state: NearState, allowed_offset):
+    """WebRtc_set_allowed_offset (delay_estimator_wrapper.cc:405-413)."""
+    off = jnp.asarray(allowed_offset, I32)
+    valid = off >= 0
+    return (state._replace(
+        allowed_offset=jnp.where(valid, off, state.allowed_offset)),
+        jnp.where(valid, I32(0), I32(-1)))
+
+
+def get_allowed_offset(state: NearState):
+    """WebRtc_get_allowed_offset (delay_estimator_wrapper.cc:415-422)."""
+    return state.allowed_offset
+
+
+def enable_robust_validation(state: NearState, enable):
+    """WebRtc_enable_robust_validation (delay_estimator_wrapper.cc:424-437):
+    runtime per-instance toggle, exactly like the reference (the C flag is
+    plain instance state, togglable between Process calls)."""
+    en = jnp.asarray(enable, I32)
+    valid = (en >= 0) & (en <= 1)
+    return (state._replace(robust_validation_enabled=jnp.where(
+        valid, en, state.robust_validation_enabled)),
+        jnp.where(valid, I32(0), I32(-1)))
+
+
+def is_robust_validation_enabled(state: NearState):
+    """WebRtc_is_robust_validation_enabled (delay_estimator_wrapper.cc:439-445)."""
+    return state.robust_validation_enabled
+
+
+def set_history_size(near: NearState, farend: FarendState,
+                     history_size: int):
+    """WebRtc_set_history_size (delay_estimator_wrapper.cc:363-377) +
+    WebRtc_AllocateHistoryBufferMemory / AllocateFarendBufferMemory
+    (delay_estimator.cc:445-494, 305-328).
+
+    history_size is an array dimension, so this is a static (trace-time)
+    reconfiguration — the TPU analog of the reference's realloc.  realloc
+    semantics are preserved: shrinking keeps the prefix (including the old
+    mean/histogram values that land in the new dummy slot), expansion
+    zero-fills from the OLD history_size onward — the reference memsets
+    [old, new) and leaves the new dummy slot uninitialized
+    (delay_estimator.cc:478-488); we define it as 0.
+
+    Returns (near, farend) with resized histories.
+    """
+    if history_size <= 1:
+        raise ValueError("history_size must be > 1 "
+                         "(delay_estimator_wrapper.cc:366)")
+    old = near.bit_counts.shape[-1]
+
+    def resize(a, new_n, keep=None):
+        kept = a[..., :new_n] if keep is None else a[..., :min(keep, new_n)]
+        pad_n = new_n - kept.shape[-1]
+        if pad_n <= 0:
+            return kept
+        pad = jnp.zeros(kept.shape[:-1] + (pad_n,), a.dtype)
+        return jnp.concatenate([kept, pad], axis=-1)
+
+    farend = farend._replace(
+        binary_history=resize(farend.binary_history, history_size),
+        bit_counts=resize(farend.bit_counts, history_size))
+    # The +1 dummy slot: on expansion the C zero-fills from index `old`
+    # (overwriting the old dummy); on shrink realloc keeps the prefix.
+    grow = history_size > old
+    near = near._replace(
+        bit_counts=resize(near.bit_counts, history_size),
+        mean_bit_counts=resize(near.mean_bit_counts, history_size + 1,
+                               keep=old if grow else history_size + 1),
+        histogram=resize(near.histogram, history_size + 1,
+                         keep=old if grow else history_size + 1))
+    return near, farend
+
+
+def history_size(near: NearState, farend: FarendState) -> int:
+    """WebRtc_history_size (delay_estimator_wrapper.cc:379-384): -1 when
+    the near/far history sizes mismatch."""
+    n = near.bit_counts.shape[-1]
+    f = farend.binary_history.shape[-1]
+    return n if n == f else -1
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +330,11 @@ def add_far_spectrum_float(state: FarendState, spectrum) -> FarendState:
 
 def _update_robust_validation_statistics(state: NearState, candidate_delay,
                                          valley_depth_q14, valley_level_q14):
-    """UpdateRobustValidationStatistics (delay_estimator.cc:96-154)."""
+    """UpdateRobustValidationStatistics (delay_estimator.cc:96-154).
+
+    All single-slot histogram updates are one-hot masked selects, not
+    scatters — per-stream dynamic-index scatters lower serially on TPU
+    (CLAUDE.md perf rule #1)."""
     history_size = state.bit_counts.shape[-1]
     valley_depth = valley_depth_q14.astype(F32) * F32(D.Q14_SCALING)
     max_hits_for_slow_change = jnp.where(
@@ -206,18 +346,19 @@ def _update_robust_validation_statistics(state: NearState, candidate_delay,
     candidate_hits = jnp.where(new_candidate, I32(0), state.candidate_hits) + 1
     last_candidate_delay = candidate_delay
 
-    cand_idx = jnp.clip(candidate_delay, 0, history_size)
-    histogram = state.histogram.at[cand_idx].add(valley_depth)
-    histogram = histogram.at[cand_idx].set(
-        jnp.minimum(histogram[cand_idx], F32(D.HISTOGRAM_MAX)))
+    i = jnp.arange(history_size + 1, dtype=I32)
+    is_cand = i == candidate_delay
+    histogram = jnp.where(
+        is_cand,
+        jnp.minimum(state.histogram + valley_depth, F32(D.HISTOGRAM_MAX)),
+        state.histogram)
 
     decrease_in_last_set = jnp.where(
         candidate_hits < max_hits_for_slow_change,
-        (state.mean_bit_counts[jnp.clip(state.compare_delay, 0, history_size)]
+        (_select_at(state.mean_bit_counts, state.compare_delay)
          - valley_level_q14).astype(F32) * F32(D.Q14_SCALING),
         valley_depth)
 
-    i = jnp.arange(history_size + 1, dtype=I32)
     in_range = i < history_size  # C loop covers [0, history_size)
     is_in_last_set = ((i >= state.last_delay - 2) & (i <= state.last_delay + 1)
                       & (i != candidate_delay))
@@ -231,9 +372,18 @@ def _update_robust_validation_statistics(state: NearState, candidate_delay,
                           last_candidate_delay=last_candidate_delay)
 
 
-def _histogram_based_validation(state: NearState, candidate_delay):
+def _select_at(values, index):
+    """values[index] as a one-hot masked sum — per-stream scalar gathers
+    lower serially on TPU under vmap (CLAUDE.md perf rule #1); this stays
+    a vectorized lane reduction."""
+    i = jnp.arange(values.shape[-1], dtype=I32)
+    return jnp.sum(jnp.where(i == index, values, jnp.zeros((), values.dtype)),
+                   axis=-1)
+
+
+def _histogram_based_validation(state: NearState, candidate_delay,
+                                hist_at_candidate):
     """HistogramBasedValidation (delay_estimator.cc:178-223)."""
-    history_size = state.bit_counts.shape[-1]
     delay_difference = (candidate_delay - state.last_delay).astype(F32)
     allowed = state.allowed_offset.astype(F32)
 
@@ -245,36 +395,34 @@ def _histogram_based_validation(state: NearState, candidate_delay):
                   jnp.minimum(D.MIN_FRACTION_WHEN_POSSIBLY_NON_CAUSAL
                               - D.FRACTION_SLOPE * delay_difference, F32(1.0)),
                   F32(1.0)))
-    threshold = (state.histogram[jnp.clip(state.compare_delay, 0, history_size)]
-                 * fraction)
+    threshold = _select_at(state.histogram, state.compare_delay) * fraction
     threshold = jnp.maximum(threshold, F32(D.MIN_HISTOGRAM_THRESHOLD))
-    return ((state.histogram[jnp.clip(candidate_delay, 0, history_size)]
-             >= threshold)
+    return ((hist_at_candidate >= threshold)
             & (state.candidate_hits > D.MIN_REQUIRED_HITS))
 
 
-def _robust_validation(state: NearState, candidate_delay,
+def _robust_validation(state: NearState, hist_at_candidate,
                        is_instantaneous_valid, is_histogram_valid):
     """RobustValidation (delay_estimator.cc:242-266)."""
-    history_size = state.bit_counts.shape[-1]
     is_robust = (state.last_delay < 0) & (is_instantaneous_valid
                                           | is_histogram_valid)
     is_robust = is_robust | (is_instantaneous_valid & is_histogram_valid)
     is_robust = is_robust | (
         is_histogram_valid
-        & (state.histogram[jnp.clip(candidate_delay, 0, history_size)]
-           > state.last_delay_histogram))
+        & (hist_at_candidate > state.last_delay_histogram))
     return is_robust
 
 
 def process_binary_spectrum(state: NearState, farend: FarendState,
-                            binary_near_spectrum,
-                            robust_validation: bool = False):
+                            binary_near_spectrum):
     """WebRtc_ProcessBinarySpectrum (delay_estimator.cc:521-663).
 
-    Args:
-      robust_validation: static toggle (WebRtc_enable_robust_validation);
-        AECM keeps it off (aecm_core.cc:225).
+    Robust validation is a runtime per-instance toggle carried in
+    `state.robust_validation_enabled` (WebRtc_enable_robust_validation,
+    delay_estimator_wrapper.cc:424-437); AECM keeps it off
+    (aecm_core.cc:225).  Both validation paths are computed and selected —
+    the histogram check is a handful of gathers, so tracing both costs
+    nothing measurable and keeps the toggle per-stream under vmap.
     Returns: (new_state, last_delay int32).
     """
     history_size = state.bit_counts.shape[-1]
@@ -342,23 +490,25 @@ def process_binary_spectrum(state: NearState, farend: FarendState,
         lambda new, old: jnp.where(non_stationary_farend, new, old),
         updated_stats, state)
 
-    if robust_validation:
-        is_histogram_valid = _histogram_based_validation(state, candidate_delay)
-        valid_candidate = _robust_validation(
-            state, candidate_delay, valid_candidate, is_histogram_valid)
+    hist_cand = _select_at(state.histogram, candidate_delay)
+    is_histogram_valid = _histogram_based_validation(state, candidate_delay,
+                                                     hist_cand)
+    robust_valid = _robust_validation(
+        state, hist_cand, valid_candidate, is_histogram_valid)
+    valid_candidate = jnp.where(state.robust_validation_enabled != 0,
+                                robust_valid, valid_candidate)
 
     do_update = non_stationary_farend & valid_candidate
     changed = do_update & (candidate_delay != state.last_delay)
 
-    cand_idx = jnp.clip(candidate_delay, 0, history_size)
-    comp_idx = jnp.clip(state.compare_delay, 0, history_size)
-    hist_cand = state.histogram[cand_idx]
     last_delay_histogram = jnp.where(
         changed, jnp.minimum(hist_cand, F32(D.LAST_HISTOGRAM_MAX)),
         state.last_delay_histogram)
-    histogram = state.histogram.at[comp_idx].set(
-        jnp.where(changed & (hist_cand < state.histogram[comp_idx]),
-                  hist_cand, state.histogram[comp_idx]))
+    i = jnp.arange(history_size + 1, dtype=I32)
+    histogram = jnp.where(
+        (i == state.compare_delay) & changed
+        & (hist_cand < state.histogram),
+        hist_cand, state.histogram)
 
     last_delay = jnp.where(do_update, candidate_delay, state.last_delay)
     # state.last_delay_probability is already the ++'d value here.
@@ -376,31 +526,30 @@ def process_binary_spectrum(state: NearState, farend: FarendState,
     return state, last_delay
 
 
-def process_fix(state: NearState, farend: FarendState, near_spectrum, near_q,
-                robust_validation: bool = False):
+def process_fix(state: NearState, farend: FarendState, near_spectrum,
+                near_q):
     """WebRtc_DelayEstimatorProcessFix (delay_estimator_wrapper.cc:447-476)."""
     bits, mean, inited = binary_spectrum_fix(
         near_spectrum, state.mean_spectrum, near_q,
         state.spectrum_initialized)
     state = state._replace(mean_spectrum=mean, spectrum_initialized=inited)
-    return process_binary_spectrum(state, farend, bits, robust_validation)
+    return process_binary_spectrum(state, farend, bits)
 
 
-def process_float(state: NearState, farend: FarendState, near_spectrum,
-                  robust_validation: bool = False):
+def process_float(state: NearState, farend: FarendState, near_spectrum):
     """WebRtc_DelayEstimatorProcessFloat (delay_estimator_wrapper.cc:478-501)."""
     bits, mean, inited = binary_spectrum_float(
         near_spectrum, state.mean_spectrum, state.spectrum_initialized)
     state = state._replace(mean_spectrum=mean, spectrum_initialized=inited)
-    return process_binary_spectrum(state, farend, bits, robust_validation)
+    return process_binary_spectrum(state, farend, bits)
 
 
-def last_delay_quality(state: NearState, robust_validation: bool = False):
-    """WebRtc_binary_last_delay_quality (delay_estimator.cc:671-688)."""
-    history_size = state.bit_counts.shape[-1]
-    if robust_validation:
-        return (state.histogram[jnp.clip(state.compare_delay, 0, history_size)]
+def last_delay_quality(state: NearState):
+    """WebRtc_binary_last_delay_quality (delay_estimator.cc:671-688);
+    branches on the runtime robust-validation toggle like the reference."""
+    robust_q = (_select_at(state.histogram, state.compare_delay)
                 / F32(D.HISTOGRAM_MAX))
-    quality = ((D.MAX_BITCOUNTS_Q9 - state.last_delay_probability).astype(F32)
-               / F32(D.MAX_BITCOUNTS_Q9))
-    return jnp.maximum(quality, F32(0.0))
+    plain_q = jnp.maximum(
+        (D.MAX_BITCOUNTS_Q9 - state.last_delay_probability).astype(F32)
+        / F32(D.MAX_BITCOUNTS_Q9), F32(0.0))
+    return jnp.where(state.robust_validation_enabled != 0, robust_q, plain_q)
