@@ -289,9 +289,15 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
         return state, jnp.asarray(out, I32)
 
     # ---------------- enabled branch ----------------
-    def enabled(state: AecmState):
+    def enabled(state: AecmState, run_mask):
         # Scanned (not unrolled) over the 1-2 frames of the call so the
         # heavy frame body is traced and compiled exactly once.
+        #
+        # run_mask (= not in startup) gates every state mutation INSIDE the
+        # branch, so the caller uses this branch's state verbatim — no
+        # whole-state startup/enabled select at the end.  Most of the gating
+        # is free: it folds into `where` masks the dataflow already has
+        # (block `active`, `have_data`, `est_on`).
         est_idx = 0 if sample_rate == 8000 else 1
         noisy_frames = jnp.reshape(jnp.asarray(nearend_noisy, I32),
                                    (n_frames, D.FRAME_LEN))
@@ -304,15 +310,18 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             i, noisy_f, clean_f = xs
             filled = (rbuf.available_read(state.farend_buf)
                       // D.FRAME_LEN).astype(I32)
-            have_data = filled > 0
+            have_data = (filled > 0) & run_mask
             frame, read_buf = rbuf.read(state.farend_buf, D.FRAME_LEN)
-            farend_buf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(have_data, a, b),
-                read_buf, state.farend_buf)
+            # rbuf.read only moves pointers; data passes through untouched.
+            farend_buf = state.farend_buf._replace(
+                read_pos=jnp.where(have_data, read_buf.read_pos,
+                                   state.farend_buf.read_pos),
+                rw_wrap=jnp.where(have_data, read_buf.rw_wrap,
+                                  state.farend_buf.rw_wrap))
             row_sel = (jnp.arange(2, dtype=I32) == i)[:, None]
             old_i = jnp.sum(jnp.where(row_sel, state.farend_old, 0), axis=0)
             farend = jnp.where(have_data, frame, old_i)
-            farend_old = jnp.where(row_sel, farend[None, :],
+            farend_old = jnp.where(row_sel & run_mask, farend[None, :],
                                    state.farend_old)
             state = state._replace(farend_buf=farend_buf,
                                    farend_old=farend_old)
@@ -320,11 +329,13 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             # _est_buf_delay touches only the jitter-ring pointers and the
             # delay-governance scalars; select just those fields.
             est = _est_buf_delay(state, mult)
-            est_on = i == est_idx
+            est_on = (i == est_idx) & run_mask
             state = state._replace(
-                farend_buf=jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(est_on, a, b),
-                    est.farend_buf, state.farend_buf),
+                farend_buf=state.farend_buf._replace(
+                    read_pos=jnp.where(est_on, est.farend_buf.read_pos,
+                                       state.farend_buf.read_pos),
+                    rw_wrap=jnp.where(est_on, est.farend_buf.rw_wrap,
+                                      state.farend_buf.rw_wrap)),
                 **{f: jnp.where(est_on, getattr(est, f), getattr(state, f))
                    for f in ("filt_delay", "time_for_delay_change",
                              "known_delay", "last_delay_diff")})
@@ -335,7 +346,8 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             # stays 0 and alignment is done by the binary delay estimator.
             res = core_mod.process_frame(
                 state.core, farend, noisy_f,
-                clean_f if has_clean else None, mult=mult, opts=opts)
+                clean_f if has_clean else None, mult=mult, opts=opts,
+                run_mask=run_mask)
             if opts.debug:
                 core, out_frame, taps = res
                 return state._replace(core=core), (out_frame, taps)
@@ -350,13 +362,24 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             return state, jnp.reshape(outs, (out_len,)), taps
         return state, jnp.reshape(ys, (out_len,))
 
-    started, started_out = startup(state)
-    res = enabled(state)
-    ran, ran_out = res[0], res[1]
     in_startup = state.ec_startup != 0
+    started, started_out = startup(state)
+    res = enabled(state, ~in_startup)
+    ran, ran_out = res[0], res[1]
     out = jnp.where(in_startup, started_out, ran_out)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(in_startup, a, b), started, ran)
+    # The enabled branch is self-gated by run_mask, so `ran` is already
+    # correct for both regimes except the fields ONLY startup() writes:
+    # the buffer-sizing scalars, ec_startup, and the jitter-ring pointers
+    # (ring data is untouched by both branches within process()).
+    state = ran._replace(
+        farend_buf=ran.farend_buf._replace(
+            read_pos=jnp.where(in_startup, started.farend_buf.read_pos,
+                               ran.farend_buf.read_pos),
+            rw_wrap=jnp.where(in_startup, started.farend_buf.rw_wrap,
+                              ran.farend_buf.rw_wrap)),
+        **{f: jnp.where(in_startup, getattr(started, f), getattr(ran, f))
+           for f in ("ec_startup", "check_buff_size", "check_buf_size_ctr",
+                     "counter", "sum", "first_val", "buf_size_start")})
     if opts.debug:
         return state, out, warn, res[2]
     return state, out, warn

@@ -1031,9 +1031,14 @@ def _place_at_fill(carry, payload, fill):
 
 def process_frame(state: CoreState, farend, nearend_noisy,
                   nearend_clean=None, mult: int = 1,
-                  opts: Options = DEFAULT_OPTIONS):
+                  opts: Options = DEFAULT_OPTIONS, run_mask=None):
     """WebRtcAecm_ProcessFrame (aecm_core.cc:501-572): one 80-sample frame
     in, one frame out, re-blocked through 64-sample blocks.
+
+    run_mask: optional traced bool — when False the returned state equals
+    the input state exactly (the control layer uses this to make the
+    enabled branch a no-op during startup without a whole-state select;
+    it folds into the block `active` mask and the small carry selects).
 
     Bit-exact restatement of the reference's ring-buffer flow: because
     writes are always 80 and reads always 64, the in-ring fill cycles
@@ -1044,6 +1049,8 @@ def process_frame(state: CoreState, farend, nearend_noisy,
     a static slice or a {2,4}-way select.
     """
     has_clean = nearend_clean is not None
+    if run_mask is None:
+        run_mask = jnp.bool_(True)
 
     # BufferFarFrame + FetchFarFrame(knownDelay) degenerate to a passthrough
     # because knownDelay is structurally 0 in this extraction (see CoreState
@@ -1059,23 +1066,32 @@ def process_frame(state: CoreState, farend, nearend_noisy,
                             work_far[..., D.PART_LEN:2 * D.PART_LEN]])
     blocks_noisy = jnp.stack([work_noisy[..., :D.PART_LEN],
                               work_noisy[..., D.PART_LEN:2 * D.PART_LEN]])
+
+    def gated(new, old):
+        return jnp.where(run_mask, new, old)
+
     state = state._replace(
-        in_carry_far=work_far[..., D.PART_LEN:2 * D.PART_LEN],
-        in_carry_noisy=work_noisy[..., D.PART_LEN:2 * D.PART_LEN],
-        frame_fill=jnp.where(two_blocks, fill - 48, fill + 16))
+        in_carry_far=gated(work_far[..., D.PART_LEN:2 * D.PART_LEN],
+                           state.in_carry_far),
+        in_carry_noisy=gated(work_noisy[..., D.PART_LEN:2 * D.PART_LEN],
+                             state.in_carry_noisy),
+        frame_fill=gated(jnp.where(two_blocks, fill - 48, fill + 16),
+                         state.frame_fill))
     if has_clean:
         work_clean = _place_at_fill(state.in_carry_clean,
                                     jnp.asarray(nearend_clean, I32), fill)
         blocks_clean = jnp.stack([work_clean[..., :D.PART_LEN],
                                   work_clean[..., D.PART_LEN:2 * D.PART_LEN]])
         state = state._replace(
-            in_carry_clean=work_clean[..., D.PART_LEN:2 * D.PART_LEN])
+            in_carry_clean=gated(work_clean[..., D.PART_LEN:2 * D.PART_LEN],
+                                 state.in_carry_clean))
     else:
         blocks_clean = blocks_noisy  # unused
 
     # Scan (not unroll) over the <=2 blocks so the big block body is traced
     # and compiled exactly once; block 1 is gated by the fill level.
-    active_mask = jnp.stack([jnp.ones_like(two_blocks), two_blocks])
+    active_mask = jnp.stack([run_mask & jnp.ones_like(two_blocks),
+                             run_mask & two_blocks])
 
     def scan_body(state, xs):
         far_b, noisy_b, clean_b, active = xs
@@ -1118,9 +1134,10 @@ def process_frame(state: CoreState, farend, nearend_noisy,
         work_out[..., :D.FRAME_LEN])
     new_carry = jnp.where(stuffed, work_out[..., 64:64 + D.PART_LEN],
                           work_out[..., D.FRAME_LEN:D.FRAME_LEN + D.PART_LEN])
-    state = state._replace(out_carry=new_carry,
-                           out_fill=avail + stuff - D.FRAME_LEN,
-                           out_tail=out[..., -16:])
+    state = state._replace(out_carry=gated(new_carry, state.out_carry),
+                           out_fill=gated(avail + stuff - D.FRAME_LEN,
+                                          state.out_fill),
+                           out_tail=gated(out[..., -16:], state.out_tail))
     if opts.debug:
         return state, out, taps
     return state, out
