@@ -1,0 +1,1614 @@
+"""Fused lane-major AECM: the whole per-chunk core path as ONE TPU kernel.
+
+The serving step's cost on TPU is dominated not by DSP arithmetic but by
+graph structure: every stage boundary, scan carry, and masked-state select
+round-trips the ~25 KB/stream core state through HBM (docs/PERFORMANCE.md).
+This module re-implements the core path (aecm_core.cc:501-572 frame layer +
+aecm_core_c.cc:368-711 block chain + the delay estimator) in a *lane-major*
+layout — every state leaf shaped (rows, n_streams) with streams on VPU
+lanes — and runs an entire 10 ms chunk (1-2 frames, up to 2 blocks each)
+inside a single `pallas_call`, with state resident in VMEM.
+
+Two execution paths share ONE implementation:
+  * pure path: `frames_step()` is plain jnp code on lane-major arrays —
+    runs under jit on any backend (this is also the CPU test target, kept
+    bit-exact against webrtc_aecm_tpu.core via tests/test_fused.py);
+  * kernel path: the same `frames_step()` body executes inside a Pallas
+    kernel (state refs loaded to values once, stored once), grid over
+    128-lane stream tiles.
+
+The control layer (jitter ring via ops/pallas_ring, startup machine,
+EstBufDelay — echo_control_mobile.cc) stays outside in XLA: it is scalar
+work plus ring data movement that already runs through dedicated kernels.
+
+Bit-exactness contract: identical outputs and state to the reference XLA
+path (and hence to the C oracle) for every input; enforced by
+tests/test_fused.py (CPU) and tools/check_fused_parity.py (TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import control
+from . import core as core_mod
+from . import defines as D
+from . import delay_estimator as de
+from . import tables
+from .ops import fft as fft_mod
+from .ops import ring_buffer as rbuf
+from .ops import spl
+
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+
+import os as _os
+LANE_TILE = int(_os.environ.get("AECM_FUSED_LANE_TILE", "128"))
+# streams per kernel program (multiple of the 128 VPU lane width; larger
+# tiles amortize per-program overhead at the cost of VMEM residency)
+
+
+# ---------------------------------------------------------------------------
+# Static tables, packed for kernel input (kernels cannot capture constants)
+# ---------------------------------------------------------------------------
+
+class Tables(NamedTuple):
+    """All constant tables the core path needs: (rows, 1) columns that
+    broadcast against (rows, B) lane-major data, plus int8 row-permutation
+    matrices applied on the MXU (see _perm_apply)."""
+    win128: jnp.ndarray        # (128, 1) sqrt-Hanning analysis window
+    fwr_rows: jnp.ndarray      # (7*128, 1) per-stage PER-ROW twiddles wr
+    fws_rows: jnp.ndarray      # (7*128, 1) per-stage per-row twiddles ws
+    perm_fwd: jnp.ndarray      # (128, 128) int8 bit-reversal permutation
+    perm_ifft_re: jnp.ndarray  # (128, 65) int8 conj-extend + bit-reverse
+    perm_ifft_im: jnp.ndarray  # (128, 65) int8, tail rows negated
+    cos360: jnp.ndarray        # (360, 1) Q13 cosine table (CNG)
+    sin360: jnp.ndarray        # (360, 1) Q13 sine table (CNG)
+    lcg_a: jnp.ndarray         # (64, 1) uint32 LCG A powers
+    lcg_c: jnp.ndarray         # (64, 1) uint32 LCG C accumulants
+
+
+def _bitrev7(i: int) -> int:
+    return int(f"{i:07b}"[::-1], 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables_np():
+    h = np.asarray(tables.SQRT_HANNING, np.int32)          # (65,)
+    win128 = np.concatenate([h[:D.PART_LEN], h[D.PART_LEN:0:-1]])
+    # Per-row twiddles: row i of stage s uses twiddle index i mod 2^s
+    # (both butterfly halves share it — see _complex_fft_128).
+    fwr = np.zeros((7, 128), np.int32)
+    fws = np.zeros((7, 128), np.int32)
+    for s in range(7):
+        l = 1 << s
+        fwr[s] = np.asarray(fft_mod._STAGE_WR[s], np.int32)[
+            np.arange(128) % l]
+        fws[s] = np.asarray(fft_mod._STAGE_WS[s], np.int32)[
+            np.arange(128) % l]
+    # Permutation matrices (entries in {-1, 0, 1}): forward = 7-bit
+    # bit-reversal; inverse = conjugate-symmetric extension of the 65-bin
+    # CCS half-spectrum fused with the bit-reversal (real_fft.c:74-102).
+    p_fwd = np.zeros((128, 128), np.int8)
+    p_re = np.zeros((128, 65), np.int8)
+    p_im = np.zeros((128, 65), np.int8)
+    for i in range(128):
+        j = _bitrev7(i)
+        p_fwd[i, j] = 1
+        src = j if j <= 64 else 128 - j
+        p_re[i, src] = 1
+        p_im[i, src] = 1 if j <= 64 else -1
+    cos = np.asarray(tables.COS_TABLE_360, np.int32)
+    sin = np.asarray(tables.SIN_TABLE_360, np.int32)
+    a_np, c_np = spl._lcg_tables(D.PART_LEN)
+    return (win128.astype(np.int32), fwr.reshape(-1), fws.reshape(-1),
+            p_fwd, p_re, p_im, cos, sin, a_np, c_np)
+
+
+def make_tables() -> Tables:
+    (win128, fwr, fws, p_fwd, p_re, p_im, cos, sin, a_np,
+     c_np) = _tables_np()
+    col = lambda x, dt: jnp.asarray(x, dt)[:, None]
+    return Tables(win128=col(win128, I32), fwr_rows=col(fwr, I32),
+                  fws_rows=col(fws, I32),
+                  perm_fwd=jnp.asarray(p_fwd),
+                  perm_ifft_re=jnp.asarray(p_re),
+                  perm_ifft_im=jnp.asarray(p_im),
+                  cos360=col(cos, I32),
+                  sin360=col(sin, I32), lcg_a=col(a_np, U32),
+                  lcg_c=col(c_np, U32))
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion: batch-leading pytree <-> lane-major pytree
+# ---------------------------------------------------------------------------
+
+def to_fused_core(core_b):
+    """Batched CoreState (leaves (B, ...)) -> lane-major (rows, B) leaves.
+
+    Scalars (B,) -> (1, B); vectors (B, L) -> (L, B); far_history
+    (B, 100, 65) -> (6500, B).  Same CoreState container, different layout.
+    """
+    def conv(x):
+        if x.ndim == 1:
+            return x[None, :]
+        if x.ndim == 2:
+            return x.T
+        b = x.shape[0]
+        return x.reshape(b, -1).T
+    return jax.tree_util.tree_map(conv, core_b)
+
+
+def from_fused_core(core_f, template=None):
+    """Inverse of to_fused_core; template supplies original trailing shapes
+    (defaults to a fresh CoreState)."""
+    if template is None:
+        template = core_mod.create_core(8000)
+
+    def conv(x, t):
+        if t.ndim == 0:
+            return x[0]
+        if t.ndim == 1:
+            return x.T
+        return x.T.reshape((x.shape[1],) + t.shape)
+    return jax.tree_util.tree_map(conv, core_f, template)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major helpers (rows on sublanes, streams on lanes)
+# ---------------------------------------------------------------------------
+
+def _row(x, i):
+    """x[..., i] of the row-major layout: one (1, B) row."""
+    return x[i:i + 1]
+
+
+def _set_row(x, i, v):
+    """x.at[..., i].set(v) as static concatenation (v: (1, B))."""
+    if i == 0:
+        return jnp.concatenate([v, x[1:]], axis=0)
+    if i == x.shape[0] - 1:
+        return jnp.concatenate([x[:i], v], axis=0)
+    return jnp.concatenate([x[:i], v, x[i + 1:]], axis=0)
+
+
+def _shift_in(x, v):
+    """jnp.roll(x, 1, axis)[0] = v — history shift register, newest first."""
+    return jnp.concatenate([v, x[:-1]], axis=0)
+
+
+def _sum0(x, dtype=None):
+    return jnp.sum(x, axis=0, keepdims=True, dtype=dtype)
+
+
+def _sum0_u32(x):
+    """uint32 row sum via int32 (Mosaic has no unsigned reductions; two's-
+    complement wraparound addition is bit-identical)."""
+    return jnp.sum(x.astype(U32).astype(I32), axis=0,
+                   keepdims=True).astype(U32)
+
+
+def _max_abs_w16_0(x):
+    """spl.max_abs_value_w16 over the row axis."""
+    return jnp.minimum(jnp.max(jnp.abs(x.astype(I32)), axis=0,
+                               keepdims=True), I32(spl.WORD16_MAX))
+
+
+def _iota_col(n, dtype=I32):
+    return jax.lax.broadcasted_iota(dtype, (n, 1), 0)
+
+
+def _select_row_at(values, index):
+    """values[index] with a traced per-lane (1, B) index: one-hot masked sum
+    (no per-lane gathers on TPU).  values: (L, B), index: (1, B)."""
+    oh = _iota_col(values.shape[0]) == index
+    return _sum0(jnp.where(oh, values, jnp.zeros((), values.dtype)))
+
+
+# ---------------------------------------------------------------------------
+# FFT pair, lane-major in-kernel form (same arithmetic as ops/fft.py
+# _complex_*_bmaj, restructured for Mosaic: row permutations as exact int8
+# MXU matmuls, butterflies as static sublane rolls + iota masks — no
+# reshapes/transposes, which relayout (128, B) data every stage)
+# ---------------------------------------------------------------------------
+
+def _perm_apply(p, x):
+    """y = p @ x exactly: p int8 with entries in {-1, 0, 1}, x int32 rows in
+    int16 range.  x splits into three int8 planes (x = h·2^14 + m·2^7 + l,
+    two's-complement exact) so each product stays in int8 and the MXU
+    accumulates in int32 — bit-exact, unlike f32 matmuls (bf16 MXU trap,
+    docs/PERFORMANCE.md rule 3)."""
+    lo = (x & 127).astype(jnp.int8)
+    mid = ((x >> 7) & 127).astype(jnp.int8)
+    hi = (x >> 14).astype(jnp.int8)
+    dot = lambda a: jax.lax.dot_general(
+        p, a, (((1,), (0,)), ((), ())), preferred_element_type=I32)
+    return dot(lo) + (dot(mid) << 7) + (dot(hi) << 14)
+
+
+def _butterfly_inputs(fr, fi, s: int):
+    """Stage-s butterfly operands via ±2^s static sublane rolls.
+
+    Row i pairs with row i ^ 2^s; rows with bit s clear are the 'a' half,
+    set are the 'b' half; both use twiddle index (i mod 2^s), so the
+    per-row twiddle tables in Tables apply uniformly."""
+    l = 1 << s
+    is_a = (_iota_col(128) & l) == 0
+    ar = jnp.where(is_a, fr, jnp.roll(fr, l, axis=0))
+    ai = jnp.where(is_a, fi, jnp.roll(fi, l, axis=0))
+    br = jnp.where(is_a, jnp.roll(fr, -l, axis=0), fr)
+    bi = jnp.where(is_a, jnp.roll(fi, -l, axis=0), fi)
+    return is_a, ar, ai, br, bi
+
+
+def _complex_fft_128(fr, fi, t: Tables):
+    """ops/fft.py _complex_fft_bmaj, order 7 mode 1."""
+    from .defines import CFFTSFT, CFFTRND, CFFTRND2
+    for s in range(7):
+        wr = t.fwr_rows[s * 128:(s + 1) * 128]
+        wi = -t.fws_rows[s * 128:(s + 1) * 128]
+        is_a, ar, ai, br, bi = _butterfly_inputs(fr, fi, s)
+        tr = (wr * br - wi * bi + CFFTRND) >> (15 - CFFTSFT)
+        ti = (wr * bi + wi * br + CFFTRND) >> (15 - CFFTSFT)
+        qr = (ar.astype(U32) << U32(CFFTSFT)).astype(I32)
+        qi = (ai.astype(U32) << U32(CFFTSFT)).astype(I32)
+        sgn = jnp.where(is_a, I32(1), I32(-1))
+        fr = spl.to_w16((qr + sgn * tr + CFFTRND2) >> (1 + CFFTSFT))
+        fi = spl.to_w16((qi + sgn * ti + CFFTRND2) >> (1 + CFFTSFT))
+    return fr, fi
+
+
+def _complex_ifft_128(fr, fi, t: Tables):
+    """ops/fft.py _complex_ifft_bmaj, order 7 mode 1; scale: (1, B)."""
+    from .defines import CIFFTSFT, CIFFTRND
+    scale = jnp.zeros((1, fr.shape[-1]), dtype=I32)
+    for s in range(7):
+        maxabs = jnp.minimum(
+            jnp.maximum(jnp.max(jnp.abs(fr), axis=0, keepdims=True),
+                        jnp.max(jnp.abs(fi), axis=0, keepdims=True)),
+            I32(32767))
+        shift = ((maxabs > 13573).astype(I32)
+                 + (maxabs > 27146).astype(I32))      # (1, B)
+        scale = scale + shift
+        rnd = (I32(8192).astype(U32) << shift.astype(U32)).astype(I32)
+
+        wr = t.fwr_rows[s * 128:(s + 1) * 128]
+        wi = t.fws_rows[s * 128:(s + 1) * 128]
+        is_a, ar, ai, br, bi = _butterfly_inputs(fr, fi, s)
+        tr = (wr * br - wi * bi + CIFFTRND) >> (15 - CIFFTSFT)
+        ti = (wr * bi + wi * br + CIFFTRND) >> (15 - CIFFTSFT)
+        qr = (ar.astype(U32) << U32(CIFFTSFT)).astype(I32)
+        qi = (ai.astype(U32) << U32(CIFFTSFT)).astype(I32)
+        sgn = jnp.where(is_a, I32(1), I32(-1))
+        fr = spl.to_w16((qr + sgn * tr + rnd) >> (shift + CIFFTSFT))
+        fi = spl.to_w16((qi + sgn * ti + rnd) >> (shift + CIFFTSFT))
+    return fr, fi, scale
+
+
+def _real_forward_fft(x128, t: Tables):
+    """real_forward_fft, lane-major: (128, B) -> (65, B) re/im."""
+    fr = _perm_apply(t.perm_fwd, x128.astype(I32))
+    fi = jnp.zeros_like(fr)
+    fr, fi = _complex_fft_128(fr, fi, t)
+    return fr[:65], fi[:65]
+
+
+def _real_inverse_fft(re, im, t: Tables):
+    """real_inverse_fft, lane-major: (65, B) -> ((128, B), scale (1, B)).
+
+    The conjugate-symmetric extension of the 65-bin CCS half-spectrum
+    (real_fft.c:74-102) and the bit-reversal fuse into one fixed row
+    permutation; the im tail's negation rides in the matrix as -1 entries
+    (the post-hoc to_w16 reproduces the reference's int16 wrap of -(-32768))."""
+    fr = _perm_apply(t.perm_ifft_re, re.astype(I32))
+    fi = spl.to_w16(_perm_apply(t.perm_ifft_im, im.astype(I32)))
+    fr, fi, scale = _complex_ifft_128(fr, fi, t)
+    return fr, scale
+
+
+# ---------------------------------------------------------------------------
+# Delay estimator, lane-major port (mirrors delay_estimator.py; the fused
+# path covers the configuration AECM uses: lookahead capacity 0, history
+# MAX_DELAY — asserted at trace time in fused_available())
+# ---------------------------------------------------------------------------
+
+def _binary_spectrum_fix_f(spectrum, mean_spectrum, q_domain, initialized):
+    """delay_estimator.binary_spectrum_fix, (65, B) rows / (1, B) scalars."""
+    band = _iota_col(D.PART_LEN1)
+    in_band = (band >= D.BAND_FIRST) & (band <= D.BAND_LAST)
+    shift = 15 - q_domain.astype(I32)                      # (1, B)
+    spectrum_q15 = (spectrum.astype(U32) << shift.astype(U32)).astype(I32)
+
+    init_thresh = jnp.where(in_band & (spectrum > 0), spectrum_q15 >> 1,
+                            mean_spectrum)
+    any_nonzero = jnp.any(in_band & (spectrum > 0), axis=0, keepdims=True)
+    do_init = initialized == 0
+    mean_spectrum = jnp.where(do_init, init_thresh, mean_spectrum)
+    initialized = jnp.where(do_init & any_nonzero, I32(1), initialized)
+
+    updated = de.mean_estimator_fix(spectrum_q15, 6, mean_spectrum)
+    mean_spectrum = jnp.where(in_band, updated, mean_spectrum)
+    bit_on = in_band & (spectrum_q15 > mean_spectrum)
+    weights = jnp.where(
+        bit_on,
+        U32(1) << jnp.clip(band - D.BAND_FIRST, 0, None).astype(U32),
+        U32(0))
+    bits = _sum0_u32(weights)                               # (1, B)
+    return bits, mean_spectrum, initialized
+
+
+def _add_far_spectrum_fix_f(farend: de.FarendState, spectrum, far_q):
+    """delay_estimator.add_far_spectrum_fix, lane-major."""
+    bits, mean, inited = _binary_spectrum_fix_f(
+        spectrum, farend.mean_spectrum, far_q, farend.spectrum_initialized)
+    history = _shift_in(farend.binary_history, bits)
+    counts = _shift_in(farend.bit_counts,
+                       jax.lax.population_count(bits).astype(I32))
+    return de.FarendState(history, counts, mean, inited)
+
+
+def _argmin0(v):
+    """First index of the minimum along rows (int32-safe argmin)."""
+    mn = jnp.min(v, axis=0, keepdims=True)
+    iota = jax.lax.broadcasted_iota(I32, v.shape, 0)
+    idx = jnp.min(jnp.where(v == mn, iota, I32(2 ** 30)), axis=0,
+                  keepdims=True)
+    return mn, idx
+
+
+def _process_binary_spectrum_f(near: de.NearState, farend: de.FarendState,
+                               bits):
+    """delay_estimator.process_binary_spectrum, lane-major (lookahead
+    capacity 0: near binary_history has exactly 1 slot)."""
+    history_size = near.bit_counts.shape[0]
+    near = near._replace(binary_history=bits)
+
+    bit_counts = jax.lax.population_count(
+        bits ^ farend.binary_history).astype(I32)          # (100, B)
+
+    bit_count_q9 = bit_counts << 9
+    shifts = D.SHIFTS_AT_ZERO - ((D.SHIFTS_LINEAR_SLOPE * farend.bit_counts)
+                                 >> 4)
+    mean_main = near.mean_bit_counts[:history_size]
+    updated_mean = de.mean_estimator_fix(bit_count_q9, shifts, mean_main)
+    mean_main = jnp.where(farend.bit_counts > 0, updated_mean, mean_main)
+    mean_bit_counts = jnp.concatenate(
+        [mean_main, near.mean_bit_counts[history_size:]], axis=0)
+
+    value_best, candidate_delay = _argmin0(mean_main)
+    candidate_delay = jnp.where(value_best < D.MAX_BITCOUNTS_Q9,
+                                candidate_delay, I32(-1))
+    value_best = jnp.minimum(value_best, I32(D.MAX_BITCOUNTS_Q9))
+    value_worst = jnp.maximum(jnp.max(mean_main, axis=0, keepdims=True),
+                              I32(0))
+    valley_depth = value_worst - value_best
+
+    threshold = jnp.maximum(value_best + D.PROBABILITY_OFFSET,
+                            I32(D.PROBABILITY_LOWER_LIMIT))
+    update_min_prob = ((near.minimum_probability > D.PROBABILITY_LOWER_LIMIT)
+                       & (valley_depth > D.PROBABILITY_MIN_SPREAD)
+                       & (near.minimum_probability > threshold))
+    minimum_probability = jnp.where(update_min_prob, threshold,
+                                    near.minimum_probability)
+    last_delay_probability = near.last_delay_probability + 1
+
+    valid_candidate = ((valley_depth > D.PROBABILITY_OFFSET)
+                       & ((value_best < minimum_probability)
+                          | (value_best < last_delay_probability)))
+
+    non_stationary_farend = jnp.any(farend.bit_counts > 0, axis=0,
+                                    keepdims=True)
+
+    near = near._replace(bit_counts=bit_counts,
+                         mean_bit_counts=mean_bit_counts,
+                         minimum_probability=minimum_probability,
+                         last_delay_probability=last_delay_probability)
+
+    # --- UpdateRobustValidationStatistics (masked per-field, as in the
+    # reference: only applied when the farend is non-stationary) ---
+    valley_f = valley_depth.astype(F32) * F32(D.Q14_SCALING)
+    max_hits_for_slow_change = jnp.where(
+        candidate_delay < near.last_delay,
+        I32(D.MAX_HITS_WHEN_POSSIBLY_NON_CAUSAL),
+        I32(D.MAX_HITS_WHEN_POSSIBLY_CAUSAL))
+    new_candidate = candidate_delay != near.last_candidate_delay
+    cand_hits_upd = jnp.where(new_candidate, I32(0), near.candidate_hits) + 1
+
+    i101 = _iota_col(history_size + 1)
+    is_cand = i101 == candidate_delay
+    hist_upd = jnp.where(
+        is_cand, jnp.minimum(near.histogram + valley_f, F32(D.HISTOGRAM_MAX)),
+        near.histogram)
+    decrease_in_last_set = jnp.where(
+        cand_hits_upd < max_hits_for_slow_change,
+        (_select_row_at(near.mean_bit_counts, near.compare_delay)
+         - value_best).astype(F32) * F32(D.Q14_SCALING),
+        valley_f)
+    in_range = i101 < history_size
+    is_in_last_set = ((i101 >= near.last_delay - 2)
+                      & (i101 <= near.last_delay + 1)
+                      & (i101 != candidate_delay))
+    is_in_candidate_set = ((i101 >= candidate_delay - 2)
+                           & (i101 <= candidate_delay + 1))
+    dec = (decrease_in_last_set * is_in_last_set.astype(F32)
+           + valley_f * (~is_in_last_set
+                         & ~is_in_candidate_set).astype(F32))
+    hist_upd = jnp.where(in_range, jnp.maximum(hist_upd - dec, F32(0.0)),
+                         hist_upd)
+
+    near = near._replace(
+        histogram=jnp.where(non_stationary_farend, hist_upd, near.histogram),
+        candidate_hits=jnp.where(non_stationary_farend, cand_hits_upd,
+                                 near.candidate_hits),
+        last_candidate_delay=jnp.where(non_stationary_farend,
+                                       candidate_delay,
+                                       near.last_candidate_delay))
+
+    # --- histogram-based + robust validation (runtime toggle) ---
+    hist_cand = _select_row_at(near.histogram, candidate_delay)
+    delay_difference = (candidate_delay - near.last_delay).astype(F32)
+    allowed = near.allowed_offset.astype(F32)
+    fraction = jnp.where(
+        delay_difference > allowed,
+        jnp.maximum(1.0 - D.FRACTION_SLOPE * (delay_difference - allowed),
+                    F32(D.MIN_FRACTION_WHEN_POSSIBLY_CAUSAL)),
+        jnp.where(delay_difference < 0,
+                  jnp.minimum(D.MIN_FRACTION_WHEN_POSSIBLY_NON_CAUSAL
+                              - D.FRACTION_SLOPE * delay_difference,
+                              F32(1.0)),
+                  F32(1.0)))
+    h_threshold = _select_row_at(near.histogram, near.compare_delay) * fraction
+    h_threshold = jnp.maximum(h_threshold, F32(D.MIN_HISTOGRAM_THRESHOLD))
+    is_histogram_valid = ((hist_cand >= h_threshold)
+                          & (near.candidate_hits > D.MIN_REQUIRED_HITS))
+    is_robust = (near.last_delay < 0) & (valid_candidate | is_histogram_valid)
+    is_robust = is_robust | (valid_candidate & is_histogram_valid)
+    is_robust = is_robust | (is_histogram_valid
+                             & (hist_cand > near.last_delay_histogram))
+    # logical blend, not select_n: Mosaic cannot select between i1 vectors
+    use_rv = near.robust_validation_enabled != 0
+    valid_candidate = ((use_rv & is_robust)
+                       | (~use_rv & valid_candidate))
+
+    do_update = non_stationary_farend & valid_candidate
+    changed = do_update & (candidate_delay != near.last_delay)
+
+    last_delay_histogram = jnp.where(
+        changed, jnp.minimum(hist_cand, F32(D.LAST_HISTOGRAM_MAX)),
+        near.last_delay_histogram)
+    histogram = jnp.where(
+        (i101 == near.compare_delay) & changed
+        & (hist_cand < near.histogram),
+        hist_cand, near.histogram)
+
+    last_delay = jnp.where(do_update, candidate_delay, near.last_delay)
+    last_delay_probability = jnp.where(
+        do_update & (value_best < near.last_delay_probability),
+        value_best, near.last_delay_probability)
+    compare_delay = jnp.where(do_update, last_delay, near.compare_delay)
+
+    near = near._replace(
+        histogram=histogram,
+        last_delay=last_delay,
+        last_delay_probability=last_delay_probability,
+        compare_delay=compare_delay,
+        last_delay_histogram=last_delay_histogram)
+    return near, last_delay
+
+
+def _process_fix_f(near: de.NearState, farend: de.FarendState,
+                   near_spectrum, near_q):
+    """delay_estimator.process_fix, lane-major."""
+    bits, mean, inited = _binary_spectrum_fix_f(
+        near_spectrum, near.mean_spectrum, near_q,
+        near.spectrum_initialized)
+    near = near._replace(mean_spectrum=mean, spectrum_initialized=inited)
+    return _process_binary_spectrum_f(near, farend, bits)
+
+
+# ---------------------------------------------------------------------------
+# Core block path, lane-major port (mirrors core.py function by function;
+# the CNG RNG/phase lookup is hoisted OUT — see make_fused_chunk_step)
+# ---------------------------------------------------------------------------
+
+def _update_far_history_f(core, far_spectrum, far_q):
+    """core.update_far_history: (6500, B) u16 shift by one 65-row block."""
+    hist = jnp.concatenate(
+        [far_spectrum.astype(jnp.uint16),
+         core.far_history[:-D.PART_LEN1]], axis=0)
+    return core._replace(
+        far_history=hist,
+        far_q_domains=_shift_in(core.far_q_domains, far_q))
+
+
+def _aligned_farend_f(core, delay):
+    """core.aligned_farend: one-hot masked sum over the 100 history rows."""
+    b = core.far_history.shape[-1]
+    hist = core.far_history.reshape(D.MAX_DELAY, D.PART_LEN1, b)
+    oh = (jax.lax.broadcasted_iota(I32, (D.MAX_DELAY, 1, 1), 0)
+          == delay.reshape(1, 1, b))
+    xfa = jnp.sum(jnp.where(oh, hist.astype(I32), 0), axis=0)
+    far_q = _select_row_at(core.far_q_domains, delay)
+    return xfa, far_q
+
+
+def _calc_energies_f(core, far_spectrum, far_q, near_ener):
+    """core.calc_energies, lane-major."""
+    near_log = core_mod.log_of_energy_in_q8(near_ener, core.dfa_noisy_q)
+    near_log_energy = _shift_in(core.near_log_energy, near_log)
+
+    echo_est = core.channel_stored * far_spectrum
+    tmp_far = _sum0_u32(far_spectrum)
+    tmp_adapt = _sum0_u32(core.channel_adapt16 * far_spectrum)
+    tmp_stored = _sum0_u32(echo_est)
+
+    far_log_energy = core_mod.log_of_energy_in_q8(tmp_far, far_q)
+    adapt_log = core_mod.log_of_energy_in_q8(
+        tmp_adapt, D.RESOLUTION_CHANNEL16 + far_q)
+    stored_log = core_mod.log_of_energy_in_q8(
+        tmp_stored, D.RESOLUTION_CHANNEL16 + far_q)
+    echo_adapt_log_energy = _shift_in(core.echo_adapt_log_energy, adapt_log)
+    echo_stored_log_energy = _shift_in(core.echo_stored_log_energy,
+                                       stored_log)
+
+    in_startup = core.startup_state == 0
+    increase_max_shifts = jnp.where(in_startup, I32(2), I32(4))
+    decrease_max_shifts = I32(11)
+    increase_min_shifts = jnp.where(in_startup, I32(8), I32(11))
+    decrease_min_shifts = jnp.where(in_startup, I32(2), I32(3))
+
+    active = far_log_energy > D.FAR_ENERGY_MIN
+    new_min = core_mod.asym_filt(core.far_energy_min, far_log_energy,
+                                 increase_min_shifts, decrease_min_shifts)
+    new_max = core_mod.asym_filt(core.far_energy_max, far_log_energy,
+                                 increase_max_shifts, decrease_max_shifts)
+    far_energy_min = jnp.where(active, new_min, core.far_energy_min)
+    far_energy_max = jnp.where(active, new_max, core.far_energy_max)
+    far_energy_max_min = jnp.where(active, far_energy_max - far_energy_min,
+                                   core.far_energy_max_min)
+
+    tmp16 = spl.to_w16(2560 - far_energy_min)
+    tmp16 = jnp.where(tmp16 > 0,
+                      spl.to_w16((tmp16 * D.FAR_ENERGY_VAD_REGION) >> 9),
+                      I32(0))
+    tmp16 = spl.to_w16(tmp16 + D.FAR_ENERGY_VAD_REGION)
+
+    vad_halted = in_startup | (core.vad_update_count > 1024)
+    tracked_vad = core.far_energy_vad + (
+        (far_log_energy + tmp16 - core.far_energy_vad) >> 6)
+    track = core.far_energy_vad > far_log_energy
+    far_energy_vad = jnp.where(
+        active,
+        jnp.where(vad_halted, far_energy_min + tmp16,
+                  jnp.where(track, tracked_vad, core.far_energy_vad)),
+        core.far_energy_vad)
+    vad_update_count = jnp.where(
+        active & ~vad_halted,
+        jnp.where(track, I32(0), spl.to_w16(core.vad_update_count + 1)),
+        core.vad_update_count)
+    far_energy_mse = jnp.where(active, far_energy_vad + (1 << 8),
+                               core.far_energy_mse)
+
+    above = far_log_energy > far_energy_vad
+    dynamic = in_startup | (far_energy_max_min > D.FAR_ENERGY_DIFF)
+    current_vad_value = jnp.where(
+        above, jnp.where(dynamic, I32(1), core.current_vad_value), I32(0))
+
+    first_fire = (current_vad_value != 0) & (core.first_vad != 0)
+    too_hot = _row(echo_adapt_log_energy, 0) > _row(near_log_energy, 0)
+    scale_down = first_fire & too_hot
+    channel_adapt16 = jnp.where(scale_down, core.channel_adapt16 >> 3,
+                                core.channel_adapt16)
+    echo_adapt_log_energy = _set_row(
+        echo_adapt_log_energy, 0,
+        jnp.where(scale_down, _row(echo_adapt_log_energy, 0) - (3 << 8),
+                  _row(echo_adapt_log_energy, 0)))
+    first_vad = jnp.where(first_fire & ~too_hot, I32(0), core.first_vad)
+
+    core = core._replace(
+        near_log_energy=near_log_energy,
+        far_log_energy=far_log_energy,
+        echo_adapt_log_energy=echo_adapt_log_energy,
+        echo_stored_log_energy=echo_stored_log_energy,
+        far_energy_min=far_energy_min,
+        far_energy_max=far_energy_max,
+        far_energy_max_min=far_energy_max_min,
+        far_energy_vad=far_energy_vad,
+        far_energy_mse=far_energy_mse,
+        vad_update_count=vad_update_count,
+        current_vad_value=current_vad_value,
+        channel_adapt16=channel_adapt16,
+        first_vad=first_vad,
+    )
+    return core, echo_est
+
+
+def _update_channel_f(core, far_spectrum, far_q, dfa, mu, echo_est):
+    """core.update_channel, lane-major ((65, B) rows, (1, B) scalars)."""
+    ch32 = core.channel_adapt32
+    zeros_ch = spl.norm_u32(ch32.astype(U32))
+    zeros_far = spl.norm_u32(far_spectrum.astype(U32))
+    safe_mul = zeros_ch + zeros_far > 31
+    shift_ch_far = jnp.where(safe_mul, I32(0), 32 - zeros_ch - zeros_far)
+    prod_safe = ch32.astype(U32) * far_spectrum.astype(U32)
+    shifted_ch = jnp.where(shift_ch_far >= 32, I32(0),
+                           spl.sar_i32(ch32, shift_ch_far))
+    prod_shifted = shifted_ch.astype(U32) * far_spectrum.astype(U32)
+    tmp_u32_no1 = jnp.where(safe_mul, prod_safe, prod_shifted)
+
+    zeros_num = spl.norm_u32(tmp_u32_no1)
+    zeros_dfa = jnp.where(dfa != 0, spl.norm_u32(dfa.astype(U32)), I32(32))
+    tmp16_no1 = (zeros_dfa - 2 + core.dfa_noisy_q - D.RESOLUTION_CHANNEL32
+                 - far_q + shift_ch_far)
+    use_dfa_domain = zeros_num > tmp16_no1 + 1
+    xfa_q = jnp.where(use_dfa_domain, tmp16_no1, zeros_num - 2)
+    dfa_q = jnp.where(use_dfa_domain, zeros_dfa - 2,
+                      D.RESOLUTION_CHANNEL32 + far_q - core.dfa_noisy_q
+                      - shift_ch_far + (zeros_num - 2))
+
+    tmp_u32_no1 = spl.shift_w32(tmp_u32_no1, xfa_q)
+    tmp_u32_no2 = spl.shift_w32(dfa.astype(U32), dfa_q)
+    tmp32_no1 = (tmp_u32_no2.astype(I32) - tmp_u32_no1.astype(I32))
+    zeros_num = spl.norm_w32(tmp32_no1)
+
+    do_update = ((tmp32_no1 != 0)
+                 & (far_spectrum > spl.shl_i32(I32(D.CHANNEL_VAD), far_q)))
+
+    safe_mul2 = zeros_num + zeros_far > 31
+    pos = tmp32_no1 > 0
+    prod2_safe = jnp.where(
+        pos, (tmp32_no1.astype(U32) * far_spectrum.astype(U32)).astype(I32),
+        -((-tmp32_no1).astype(U32) * far_spectrum.astype(U32)).astype(I32))
+    shift_num = jnp.where(safe_mul2, I32(0), 32 - (zeros_num + zeros_far))
+    prod2_shift = jnp.where(
+        pos, spl.sar_i32(tmp32_no1, shift_num) * far_spectrum,
+        -(spl.sar_i32(-tmp32_no1, shift_num) * far_spectrum))
+    tmp32_no2 = jnp.where(safe_mul2, prod2_safe, prod2_shift)
+
+    tmp32_no2 = spl.div_w32_w16(tmp32_no2, _iota_col(D.PART_LEN1) + 1)
+    shift2_res_chan = (shift_num + shift_ch_far - xfa_q - mu
+                       - ((30 - zeros_far) << 1))
+    overflow = spl.norm_w32(tmp32_no2) < shift2_res_chan
+    tmp32_no2 = jnp.where(overflow, I32(D.WORD32_MAX),
+                          spl.shift_w32(tmp32_no2, shift2_res_chan))
+
+    new_ch32 = jnp.maximum(spl.add_sat_w32(ch32, tmp32_no2), I32(0))
+    apply = (mu != 0) & do_update
+    channel_adapt32 = jnp.where(apply, new_ch32, ch32)
+    channel_adapt16 = jnp.where(apply, channel_adapt32 >> 16,
+                                core.channel_adapt16)
+    core = core._replace(channel_adapt32=channel_adapt32,
+                         channel_adapt16=channel_adapt16)
+
+    # --- store/restore arbitration ---
+    startup_store = (core.startup_state == 0) & (core.current_vad_value != 0)
+
+    mse_channel_count = jnp.where(
+        core.far_log_energy < core.far_energy_mse, I32(0),
+        core.mse_channel_count + 1)
+    evaluate = mse_channel_count >= (D.MIN_MSE_COUNT + 10)
+
+    mse_stored = _sum0(jnp.abs(
+        core.echo_stored_log_energy[:D.MIN_MSE_COUNT]
+        - core.near_log_energy[:D.MIN_MSE_COUNT]))
+    mse_adapt = _sum0(jnp.abs(
+        core.echo_adapt_log_energy[:D.MIN_MSE_COUNT]
+        - core.near_log_energy[:D.MIN_MSE_COUNT]))
+
+    do_reset = evaluate & (
+        (spl.shl_i32(mse_stored, D.MSE_RESOLUTION)
+         < D.MIN_MSE_DIFF * mse_adapt)
+        & (spl.shl_i32(core.mse_stored_old, D.MSE_RESOLUTION)
+           < D.MIN_MSE_DIFF * core.mse_adapt_old))
+    do_store = evaluate & ~do_reset & (
+        (D.MIN_MSE_DIFF * mse_stored > spl.shl_i32(mse_adapt,
+                                                   D.MSE_RESOLUTION))
+        & (mse_adapt < core.mse_threshold)
+        & (core.mse_adapt_old < core.mse_threshold))
+
+    fresh = core.mse_threshold == D.WORD32_MAX
+    scaled_threshold = spl.div_trunc(core.mse_threshold * 5, I32(8))
+    bumped = core.mse_threshold + (
+        ((mse_adapt - scaled_threshold) * 205) >> 8)
+    new_threshold = jnp.where(fresh, mse_adapt + core.mse_adapt_old, bumped)
+    mse_threshold = jnp.where(do_store & ~startup_store, new_threshold,
+                              core.mse_threshold)
+
+    store_now = startup_store | (~startup_store & do_store)
+    stored_ch = core.channel_adapt16
+    stored_echo_est = stored_ch * far_spectrum
+    reset_ch16, reset_ch32 = (core.channel_stored,
+                              spl.shl_i32(core.channel_stored, 16))
+
+    channel_stored = jnp.where(store_now, stored_ch, core.channel_stored)
+    echo_est = jnp.where(store_now, stored_echo_est, echo_est)
+    reset_now = ~startup_store & do_reset
+    channel_adapt16 = jnp.where(reset_now, reset_ch16, core.channel_adapt16)
+    channel_adapt32 = jnp.where(reset_now, reset_ch32, core.channel_adapt32)
+
+    core = core._replace(
+        channel_stored=channel_stored,
+        channel_adapt16=channel_adapt16,
+        channel_adapt32=channel_adapt32,
+        mse_threshold=mse_threshold,
+        mse_channel_count=jnp.where(
+            startup_store, core.mse_channel_count,
+            jnp.where(evaluate, I32(0), mse_channel_count)),
+        mse_stored_old=jnp.where(~startup_store & evaluate, mse_stored,
+                                 core.mse_stored_old),
+        mse_adapt_old=jnp.where(~startup_store & evaluate, mse_adapt,
+                                core.mse_adapt_old),
+    )
+    return core, echo_est
+
+
+def _calc_suppression_gain_f(core):
+    """core.calc_suppression_gain, lane-major ((1, B) scalars)."""
+    tmp16 = (_row(core.near_log_energy, 0)
+             - _row(core.echo_stored_log_energy, 0) - D.ENERGY_DEV_OFFSET)
+    d_e = spl.to_w16(jnp.abs(spl.to_w16(tmp16)))
+
+    low = d_e < D.SUPGAIN_EPC_DT
+    num_low = core.sup_gain_err_param_diff_ab * d_e + (D.SUPGAIN_EPC_DT >> 1)
+    gain_low = core.sup_gain_err_param_a - spl.to_w16(
+        spl.div_w32_w16(num_low, I32(D.SUPGAIN_EPC_DT)))
+    num_high = (core.sup_gain_err_param_diff_bd * (D.ENERGY_DEV_TOL - d_e)
+                + ((D.ENERGY_DEV_TOL - D.SUPGAIN_EPC_DT) >> 1))
+    gain_high = core.sup_gain_err_param_d + spl.to_w16(
+        spl.div_w32_w16(num_high, I32(D.ENERGY_DEV_TOL - D.SUPGAIN_EPC_DT)))
+    sup_gain = jnp.where(d_e < D.ENERGY_DEV_TOL,
+                         jnp.where(low, gain_low, gain_high),
+                         core.sup_gain_err_param_d)
+    sup_gain = jnp.where(core.current_vad_value == 0, I32(0), sup_gain)
+
+    target = jnp.maximum(sup_gain, core.sup_gain_old)
+    new_sup = spl.to_w16(core.sup_gain
+                         + spl.to_w16((target - core.sup_gain) >> 4))
+    core = core._replace(sup_gain=new_sup, sup_gain_old=sup_gain)
+    return core, new_sup
+
+
+def _time_to_frequency_domain_f(time_signal, t: Tables,
+                                abs_approx: bool = False):
+    """core.time_to_frequency_domain, lane-major ((128, B) in)."""
+    max_abs = _max_abs_w16_0(time_signal)
+    scaling = spl.norm_w16(max_abs)                        # (1, B)
+    scaled = spl.to_w16(spl.shl_i32(time_signal, scaling))
+    windowed = spl.to_w16((scaled * t.win128) >> 14)
+    re, im = _real_forward_fft(windowed, t)
+    im = jnp.concatenate([spl.to_w16(-im[:D.PART_LEN]),
+                          im[D.PART_LEN:]], axis=0)
+    z = jnp.zeros_like(_row(im, 0))
+    im = _set_row(_set_row(im, 0, z), D.PART_LEN, z)
+
+    abs_re = jnp.abs(re)
+    abs_im = jnp.abs(im)
+    if abs_approx:
+        max_v = jnp.maximum(abs_re, abs_im)
+        min_v = jnp.minimum(abs_re, abs_im)
+        alpha = jnp.where((max_v >> 2) > min_v, I32(32584),
+                          jnp.where((max_v >> 1) > min_v, I32(30879),
+                                    I32(26951)))
+        beta = jnp.where((max_v >> 2) > min_v, I32(4249),
+                         jnp.where((max_v >> 1) > min_v, I32(11072),
+                                   I32(18927)))
+        mag_interior = (spl.to_w16((max_v * alpha) >> 15) & 0xFFFF) + (
+            spl.to_w16((min_v * beta) >> 15) & 0xFFFF)
+        mag_interior = mag_interior & 0xFFFF
+    else:
+        sq = spl.add_sat_w32(abs_re * abs_re, abs_im * abs_im)
+        mag_interior = spl.sqrt_floor(sq)
+    mag = jnp.where(re == 0, abs_im,
+                    jnp.where(im == 0, abs_re, mag_interior))
+    mag = _set_row(mag, 0, _row(abs_re, 0))
+    mag = _set_row(mag, D.PART_LEN, _row(abs_re, D.PART_LEN))
+    mag_sum = _sum0_u32(mag)
+    return scaling, (re, im), mag, mag_sum
+
+
+def _inverse_fft_and_window_f(core, efw_re, efw_im, has_clean: bool,
+                              t: Tables):
+    """core.inverse_fft_and_window, lane-major."""
+    ifft_out, out_cfft = _real_inverse_fft(efw_re, spl.to_w16(-efw_im), t)
+    shift = out_cfft - core.dfa_clean_q
+
+    first = spl.to_w16(
+        (ifft_out[:D.PART_LEN] * t.win128[:D.PART_LEN] + 8192) >> 14)
+    tmp_a = spl.shift_w32(first, shift)
+    output = spl.sat_w16(tmp_a + core.out_buf)
+
+    second = (ifft_out[D.PART_LEN:] * t.win128[D.PART_LEN:]) >> 14
+    out_buf = spl.sat_w16(spl.shift_w32(second, shift))
+
+    x_buf = jnp.concatenate([core.x_buf[D.PART_LEN:],
+                             core.x_buf[D.PART_LEN:]], axis=0)
+    d_noisy = jnp.concatenate([core.d_buf_noisy[D.PART_LEN:],
+                               core.d_buf_noisy[D.PART_LEN:]], axis=0)
+    core = core._replace(x_buf=x_buf, d_buf_noisy=d_noisy, out_buf=out_buf)
+    if has_clean:
+        d_clean = jnp.concatenate([core.d_buf_clean[D.PART_LEN:],
+                                   core.d_buf_clean[D.PART_LEN:]], axis=0)
+        core = core._replace(d_buf_clean=d_clean)
+    return core, output
+
+
+def _comfort_noise_f(core, dfa, efw_re, efw_im, lam, cos_v, sin_v):
+    """core.comfort_noise, lane-major; cos_v/sin_v (64, B) are the phase
+    table values for this block's RNG draws, computed OUTSIDE the kernel
+    (the seed chain is state known before the kernel runs; the table
+    gather uses the proven int8-MXU lookup in XLA).  The seed state update
+    also happens outside."""
+    shift_noise = D.NOISE_EST_Q_DOMAIN - core.dfa_clean_q
+    fast = core.noise_est_ctr < 100
+    noise_est_ctr = jnp.where(fast, core.noise_est_ctr + 1,
+                              core.noise_est_ctr)
+    min_track_shift = jnp.where(fast, I32(6), I32(9))
+
+    noise = core.noise_est
+    too_low = core.noise_est_too_low_ctr
+    too_high = core.noise_est_too_high_ctr
+    out_lshift = spl.shl_i32(dfa, shift_noise)
+
+    below = out_lshift < noise
+    small = noise < spl.shl_i32(I32(1), min_track_shift)
+    th_inc = too_high + 1
+    dec_small = th_inc >= D.NOISE_EST_INC_COUNT
+    noise_b_small = jnp.where(dec_small, noise - 1, noise)
+    th_small = jnp.where(dec_small, I32(0), th_inc)
+    noise_b_big = noise - spl.sar_i32(noise - out_lshift, min_track_shift)
+    noise_below = jnp.where(small, noise_b_small, noise_b_big)
+    too_high_below = jnp.where(small, th_small, too_high)
+    big1 = (noise >> 19) > 0
+    big2 = (noise >> 11) > 0
+    noise_a1 = (noise >> 11) * 2049
+    noise_a2 = (noise * 2049) >> 11
+    tl_inc = too_low + 1
+    inc_small = tl_inc >= D.NOISE_EST_INC_COUNT
+    noise_a3 = jnp.where(inc_small, noise + (noise >> 9) + 1, noise)
+    tl_small = jnp.where(inc_small, I32(0), tl_inc)
+    noise_above = jnp.where(big1, noise_a1, jnp.where(big2, noise_a2,
+                                                      noise_a3))
+    too_low_above = jnp.where(big1 | big2, too_low, tl_small)
+
+    noise = jnp.where(below, noise_below, noise_above)
+    too_low = jnp.where(below, I32(0), too_low_above)
+    too_high = jnp.where(below, too_high_below, I32(0))
+
+    tmp32 = spl.sar_i32(noise, shift_noise)
+    clip = tmp32 > 32767
+    tmp32 = jnp.where(clip, I32(32767), tmp32)
+    noise = jnp.where(clip, spl.shl_i32(tmp32, shift_noise), noise)
+    noise_rshift16 = spl.to_w16(
+        ((D.ONE_Q14 - lam) * spl.to_w16(tmp32)) >> 14)
+
+    amp = noise_rshift16[1:]
+    z = jnp.zeros_like(amp[:1])
+    u_real = jnp.concatenate([z, spl.to_w16((amp * cos_v) >> 13)], axis=0)
+    u_imag = jnp.concatenate([z, spl.to_w16((-amp * sin_v) >> 13)], axis=0)
+    u_imag = _set_row(u_imag, D.PART_LEN, jnp.zeros_like(z))
+
+    efw_re = spl.add_sat_w16(efw_re, u_real)
+    efw_im = spl.add_sat_w16(efw_im, u_imag)
+
+    core = core._replace(noise_est=noise, noise_est_too_low_ctr=too_low,
+                         noise_est_too_high_ctr=too_high,
+                         noise_est_ctr=noise_est_ctr)
+    return core, efw_re, efw_im
+
+
+def _calc_step_size_f(core):
+    """core.calc_step_size, lane-major."""
+    tmp32 = (core.far_log_energy - core.far_energy_min) * D.MU_DIFF
+    ratio = spl.to_w16(spl.div_w32_w16(tmp32, core.far_energy_max_min))
+    mu_dyn = jnp.maximum(D.MU_MIN - 1 - ratio, I32(D.MU_MAX))
+    mu = jnp.where(core.far_energy_min >= core.far_energy_max,
+                   I32(D.MU_MIN), mu_dyn)
+    mu = jnp.where(core.startup_state > 0, mu, I32(D.MU_MAX))
+    return jnp.where(core.current_vad_value == 0, I32(0), mu)
+
+
+def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
+                     cos_v, sin_v, mult: int, has_clean: bool,
+                     abs_approx: bool):
+    """core.process_block, lane-major; blocks are (64, B).  The RNG seed
+    row passes through untouched (advanced outside the kernel)."""
+    startup_state = jnp.where(
+        core.startup_state < 2,
+        (core.tot_count >= D.CONV_LEN).astype(I32)
+        + (core.tot_count >= D.CONV_LEN2).astype(I32),
+        core.startup_state)
+    core = core._replace(startup_state=startup_state)
+
+    core = core._replace(
+        x_buf=jnp.concatenate([core.x_buf[:D.PART_LEN], farend], axis=0),
+        d_buf_noisy=jnp.concatenate([core.d_buf_noisy[:D.PART_LEN],
+                                     nearend_noisy], axis=0))
+    if has_clean:
+        core = core._replace(
+            d_buf_clean=jnp.concatenate([core.d_buf_clean[:D.PART_LEN],
+                                         nearend_clean], axis=0))
+
+    far_q, _, xfa, xfa_sum = _time_to_frequency_domain_f(core.x_buf, t,
+                                                         abs_approx)
+    zeros_d_noisy, dfw, dfa_noisy, dfa_noisy_sum = (
+        _time_to_frequency_domain_f(core.d_buf_noisy, t, abs_approx))
+    core = core._replace(dfa_noisy_q_old=core.dfa_noisy_q,
+                         dfa_noisy_q=zeros_d_noisy)
+
+    if has_clean:
+        zeros_d_clean, dfw, dfa_clean, dfa_clean_sum = (
+            _time_to_frequency_domain_f(core.d_buf_clean, t, abs_approx))
+        core = core._replace(dfa_clean_q_old=core.dfa_clean_q,
+                             dfa_clean_q=zeros_d_clean)
+        ptr_dfa_clean = dfa_clean
+    else:
+        core = core._replace(dfa_clean_q_old=core.dfa_noisy_q_old,
+                             dfa_clean_q=core.dfa_noisy_q)
+        ptr_dfa_clean = dfa_noisy
+
+    core = _update_far_history_f(core, xfa, far_q)
+    core = core._replace(
+        de_farend=_add_far_spectrum_fix_f(core.de_farend, xfa, far_q))
+    de_near, delay = _process_fix_f(core.de_near, core.de_farend,
+                                    dfa_noisy, zeros_d_noisy)
+    core = core._replace(de_near=de_near)
+    delay = jnp.where(delay == -2, I32(0), delay)
+    delay = jnp.where(core.fixed_delay >= 0, core.fixed_delay, delay)
+
+    far_spectrum, far_q_aligned = _aligned_farend_f(core, delay)
+    zeros_x_buf = far_q_aligned
+
+    core, echo_est = _calc_energies_f(core, far_spectrum, zeros_x_buf,
+                                      dfa_noisy_sum)
+    mu = _calc_step_size_f(core)
+    core = core._replace(tot_count=core.tot_count + 1)
+    core, echo_est = _update_channel_f(core, far_spectrum, zeros_x_buf,
+                                       dfa_noisy, mu, echo_est)
+    core, sup_gain = _calc_suppression_gain_f(core)
+
+    # --- Wiener filter hnl ---
+    diff = echo_est - core.echo_filt
+    echo_filt = core.echo_filt + spl.mul_i64_shift_right(diff, 50, 8)
+
+    zeros32 = spl.norm_w32(echo_filt) + 1
+    zeros16 = spl.norm_w16(sup_gain) + 1
+    safe = zeros32 + zeros16 > 16
+    gained_safe = echo_filt.astype(U32) * sup_gain.astype(U32)
+    tmp16_no1 = 17 - zeros32 - zeros16
+    res_diff_safe = (14 - D.RESOLUTION_CHANNEL16 - D.RESOLUTION_SUPGAIN
+                     + core.dfa_clean_q - zeros_x_buf)
+    res_diff_unsafe = (14 + tmp16_no1 - D.RESOLUTION_CHANNEL16
+                       - D.RESOLUTION_SUPGAIN + core.dfa_clean_q
+                       - zeros_x_buf)
+    gained_a = echo_filt.astype(U32) * spl.sar_i32(sup_gain,
+                                                   tmp16_no1).astype(U32)
+    gained_b = (spl.sar_i32(echo_filt, tmp16_no1) * sup_gain).astype(U32)
+    gained_unsafe = jnp.where(zeros32 > tmp16_no1, gained_a, gained_b)
+    echo_est_gained = jnp.where(safe, gained_safe, gained_unsafe)
+    resolution_diff = jnp.where(safe, res_diff_safe, res_diff_unsafe)
+
+    zeros16n = spl.norm_w16(core.near_filt)
+    dq_diff = core.dfa_clean_q - core.dfa_clean_q_old
+    cramped = (zeros16n < dq_diff) & (core.near_filt != 0)
+    t1_a = spl.to_w16(spl.shl_i32(core.near_filt, zeros16n))
+    qdd_a = zeros16n - dq_diff
+    t2_a = spl.sar_i32(ptr_dfa_clean, -qdd_a)
+    t1_b = spl.to_w16(jnp.where(dq_diff < 0,
+                                spl.sar_i32(core.near_filt, -dq_diff),
+                                spl.shl_i32(core.near_filt, dq_diff)))
+    t2_b = spl.to_w16(ptr_dfa_clean)
+    tmp16no1 = jnp.where(cramped, t1_a, t1_b)
+    q_domain_diff = jnp.where(cramped, qdd_a, I32(0))
+    tmp16no2 = jnp.where(cramped, t2_a, t2_b)
+
+    t32 = tmp16no2 - tmp16no1
+    tmp16no2 = spl.to_w16(spl.to_w16(t32 >> 4) + tmp16no1)
+    zeros16n2 = spl.norm_w16(tmp16no2)
+    sat_near = ((tmp16no2 & 1) != 0) & (-q_domain_diff > zeros16n2)
+    near_filt = jnp.where(
+        sat_near, I32(D.WORD16_MAX),
+        jnp.where(q_domain_diff < 0,
+                  spl.to_w16(spl.shl_i32(tmp16no2, -q_domain_diff)),
+                  spl.sar_i32(tmp16no2, q_domain_diff)))
+
+    rounded = echo_est_gained + (spl.sar_i32(near_filt, 1)).astype(U32)
+    ratio = spl.div_u32_u16(rounded, (near_filt & 0xFFFF).astype(U32))
+    tmp32no1 = spl.shift_w32(ratio, resolution_diff).astype(I32)
+    hnl_core = jnp.clip(D.ONE_Q14 - tmp32no1, 0, None)
+    hnl = jnp.where(tmp32no1 > D.ONE_Q14, I32(0),
+                    jnp.where(tmp32no1 < 0, I32(D.ONE_Q14), hnl_core))
+    hnl = jnp.where(echo_est_gained == 0, I32(D.ONE_Q14),
+                    jnp.where(near_filt == 0, I32(0), hnl))
+    num_pos_coef = _sum0((hnl != 0).astype(I32))
+
+    core = core._replace(echo_filt=echo_filt, near_filt=near_filt)
+
+    if mult == 2:
+        hnl = spl.to_w16((hnl * hnl) >> 14)
+        k_min, k_max = 4, 24
+        avg = jnp.sum(hnl[k_min:k_max + 1], axis=0, keepdims=True)
+        avg = spl.div_trunc(avg, I32(k_max - k_min + 1))
+        upper = _iota_col(D.PART_LEN1) >= k_max
+        hnl = jnp.where(upper & (hnl > avg), avg, hnl)
+
+    nlp_hnl = jnp.where(hnl < D.NLP_COMP_LOW, I32(0),
+                        jnp.where(hnl > D.NLP_COMP_HIGH, I32(D.ONE_Q14),
+                                  hnl))
+    nlp_gain = jnp.where(num_pos_coef < 3, I32(0), I32(D.ONE_Q14))
+    nlp_hnl = jnp.where((nlp_hnl == D.ONE_Q14) & (nlp_gain == D.ONE_Q14),
+                        I32(D.ONE_Q14),
+                        spl.to_w16((nlp_hnl * nlp_gain) >> 14))
+    hnl = jnp.where(core.nlp_flag != 0, nlp_hnl, hnl)
+
+    dfw_re, dfw_im = dfw
+    efw_re = spl.to_w16((dfw_re * hnl + 8192) >> 14)
+    efw_im = spl.to_w16((dfw_im * hnl + 8192) >> 14)
+
+    cng_core, cng_re, cng_im = _comfort_noise_f(core, ptr_dfa_clean,
+                                                efw_re, efw_im, hnl,
+                                                cos_v, sin_v)
+    use_cng = core.cng_mode != 0
+    core = core._replace(**{
+        f: jnp.where(use_cng, getattr(cng_core, f), getattr(core, f))
+        for f in ("noise_est", "noise_est_too_low_ctr",
+                  "noise_est_too_high_ctr", "noise_est_ctr")})
+    efw_re = jnp.where(use_cng, cng_re, efw_re)
+    efw_im = jnp.where(use_cng, cng_im, efw_im)
+
+    core, output = _inverse_fft_and_window_f(core, efw_re, efw_im,
+                                             has_clean, t)
+    return core, output
+
+
+def _place_at_fill_f(carry, payload, fill):
+    """core._place_at_fill, lane-major: carry (64, B), payload (P, B),
+    fill (1, B) in {0,16,32,48} -> (P + 64, B)."""
+    pad = jnp.zeros((D.PART_LEN,) + payload.shape[1:], payload.dtype)
+    cands = [
+        jnp.concatenate([payload, pad], axis=0),
+        jnp.concatenate([carry[:16], payload, pad[:48]], axis=0),
+        jnp.concatenate([carry[:32], payload, pad[:32]], axis=0),
+        jnp.concatenate([carry[:48], payload, pad[:16]], axis=0),
+    ]
+    sel = fill >> 4
+    out = jnp.zeros_like(cands[0])
+    for k in range(4):
+        out = out + jnp.where(sel == k, cands[k], 0)
+    return out
+
+
+def _where_tree(mask, new, old):
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(mask, a, b), new, old)
+
+
+def _process_frame_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
+                     cos_2, sin_2, run_mask, mult: int, has_clean: bool,
+                     abs_approx: bool):
+    """core.process_frame, lane-major: frames are (80, B); cos_2/sin_2 are
+    (2*64, B) phase-table rows for this frame's two block slots."""
+    fill = core.frame_fill
+    two_blocks = fill >= 48
+    work_far = _place_at_fill_f(core.in_carry_far, farend, fill)
+    work_noisy = _place_at_fill_f(core.in_carry_noisy, nearend_noisy, fill)
+
+    def gated(new, old):
+        return jnp.where(run_mask, new, old)
+
+    new_core = core._replace(
+        in_carry_far=gated(work_far[D.PART_LEN:2 * D.PART_LEN],
+                           core.in_carry_far),
+        in_carry_noisy=gated(work_noisy[D.PART_LEN:2 * D.PART_LEN],
+                             core.in_carry_noisy),
+        frame_fill=gated(jnp.where(two_blocks, fill - 48, fill + 16),
+                         core.frame_fill))
+    if has_clean:
+        work_clean = _place_at_fill_f(core.in_carry_clean, nearend_clean,
+                                      fill)
+        new_core = new_core._replace(
+            in_carry_clean=gated(work_clean[D.PART_LEN:2 * D.PART_LEN],
+                                 core.in_carry_clean))
+    core = new_core
+
+    out_blocks = []
+    for k in range(2):
+        active = run_mask if k == 0 else (two_blocks & run_mask)
+        blk_far = work_far[k * D.PART_LEN:(k + 1) * D.PART_LEN]
+        blk_noisy = work_noisy[k * D.PART_LEN:(k + 1) * D.PART_LEN]
+        blk_clean = (work_clean[k * D.PART_LEN:(k + 1) * D.PART_LEN]
+                     if has_clean else None)
+        new_core, out_b = _process_block_f(
+            core, t, blk_far, blk_noisy, blk_clean,
+            cos_2[k * D.PART_LEN:(k + 1) * D.PART_LEN],
+            sin_2[k * D.PART_LEN:(k + 1) * D.PART_LEN],
+            mult, has_clean, abs_approx)
+        core = _where_tree(active, new_core, core)
+        out_blocks.append(jnp.where(active, out_b, 0))
+
+    o = core.out_fill
+    n_blocks = 1 + two_blocks.astype(I32)
+    produced = jnp.concatenate(out_blocks, axis=0)
+    work_out = _place_at_fill_f(core.out_carry, produced, o)
+
+    avail = o + n_blocks * D.PART_LEN
+    stuff = jnp.maximum(I32(0), D.FRAME_LEN - avail)
+    stuffed = stuff > 0
+    out = jnp.where(
+        stuffed,
+        jnp.concatenate([core.out_tail, work_out[:64]], axis=0),
+        work_out[:D.FRAME_LEN])
+    new_carry = jnp.where(stuffed, work_out[64:64 + D.PART_LEN],
+                          work_out[D.FRAME_LEN:D.FRAME_LEN + D.PART_LEN])
+
+    def gated2(new, old):
+        return jnp.where(run_mask, new, old)
+
+    core = core._replace(out_carry=gated2(new_carry, core.out_carry),
+                         out_fill=gated2(avail + stuff - D.FRAME_LEN,
+                                         core.out_fill),
+                         out_tail=gated2(out[-16:], core.out_tail))
+    return core, out
+
+
+def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
+                cos_all, sin_all, run_mask, mult: int, n_frames: int,
+                has_clean: bool, abs_approx: bool = False):
+    """The full per-chunk core path: n_frames x process_frame, lane-major.
+
+    far/noisy/clean_frames: (n_frames*80, B); cos/sin_all:
+    (n_frames*2*64, B); run_mask: (1, B) bool.  Runs identically as plain
+    jnp (CPU/testing) and inside the Pallas kernel (TPU).
+    """
+    outs = []
+    for f in range(n_frames):
+        fr = far_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
+        no = noisy_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
+        cl = (clean_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
+              if has_clean else None)
+        cs = cos_all[f * 128:(f + 1) * 128]
+        sn = sin_all[f * 128:(f + 1) * 128]
+        core, out_f = _process_frame_f(core, t, fr, no, cl, cs, sn,
+                                       run_mask, mult, has_clean,
+                                       abs_approx)
+        outs.append(out_f)
+    return core, jnp.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Control layer (batch-leading, mirrors control.py) + the chunk driver
+# ---------------------------------------------------------------------------
+
+class CtrlState(NamedTuple):
+    """AecmState minus core (echo_control_mobile.cc:42-79), batch-leading."""
+    farend_buf: rbuf.RingBuffer        # batched leaves: data (B, 4000), ...
+    farend_old: jnp.ndarray            # (B, 2, 80)
+    ec_startup: jnp.ndarray            # (B,) scalars...
+    check_buff_size: jnp.ndarray
+    check_buf_size_ctr: jnp.ndarray
+    counter: jnp.ndarray
+    sum: jnp.ndarray
+    first_val: jnp.ndarray
+    buf_size_start: jnp.ndarray
+    ms_in_sndcard_buf: jnp.ndarray
+    filt_delay: jnp.ndarray
+    time_for_delay_change: jnp.ndarray
+    known_delay: jnp.ndarray
+    last_delay_diff: jnp.ndarray
+    delay_change: jnp.ndarray
+    echo_mode: jnp.ndarray
+
+
+class FusedState(NamedTuple):
+    """Batched AECM state in the fused layout: control fields batch-leading,
+    core fields lane-major (rows, n_streams)."""
+    ctrl: CtrlState
+    core: core_mod.CoreState           # lane-major leaves
+
+
+def to_fused_state(state_b) -> FusedState:
+    """Batched control.AecmState -> FusedState."""
+    ctrl = CtrlState(**{f: getattr(state_b, f) for f in CtrlState._fields})
+    return FusedState(ctrl=ctrl, core=to_fused_core(state_b.core))
+
+
+def from_fused_state(fstate: FusedState) -> control.AecmState:
+    core_b = from_fused_core(fstate.core)
+    return control.AecmState(core=core_b,
+                             **fstate.ctrl._asdict())
+
+
+def create_fused(n_streams: int, sample_rate: int = 8000, cng_mode: int = 1,
+                 echo_mode: int = 3) -> FusedState:
+    from .parallel import batch as pbatch
+    return to_fused_state(pbatch.create_batch(n_streams, sample_rate,
+                                              cng_mode, echo_mode))
+
+
+def _delay_comp_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
+    """control._delay_comp on batch-leading scalars."""
+    n_samp_far = rbuf.available_read(ctrl.farend_buf)
+    n_samp_sndcard = ctrl.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
+    delay_new = n_samp_sndcard - n_samp_far
+    stuff = delay_new > (D.FAR_BUF_LEN - D.FRAME_LEN * mult)
+    n_samp_add = jnp.maximum((n_samp_sndcard >> 1) - n_samp_far,
+                             I32(D.FRAME_LEN))
+    n_samp_add = jnp.minimum(n_samp_add, I32(10 * D.FRAME_LEN))
+    farend_buf = rbuf.move_read_ptr(
+        ctrl.farend_buf, jnp.where(stuff, -n_samp_add, I32(0)))
+    delay_change = jnp.where(stuff, I32(1), ctrl.delay_change)
+    return ctrl._replace(farend_buf=farend_buf, delay_change=delay_change)
+
+
+def buffer_farend_fused(state: FusedState, farend, mult: int) -> FusedState:
+    """control.buffer_farend: delay comp + jitter ring write (batched)."""
+    ctrl = state.ctrl
+    comped = _delay_comp_ctrl(ctrl, mult)
+    enabled = ctrl.ec_startup == 0
+    ctrl = ctrl._replace(
+        farend_buf=ctrl.farend_buf._replace(
+            read_pos=jnp.where(enabled, comped.farend_buf.read_pos,
+                               ctrl.farend_buf.read_pos),
+            rw_wrap=jnp.where(enabled, comped.farend_buf.rw_wrap,
+                              ctrl.farend_buf.rw_wrap)),
+        delay_change=jnp.where(enabled, comped.delay_change,
+                               ctrl.delay_change))
+    fb = jax.vmap(rbuf.write)(ctrl.farend_buf,
+                              jnp.asarray(farend, I32))
+    return state._replace(ctrl=ctrl._replace(farend_buf=fb))
+
+
+def _startup_ctrl(ctrl: CtrlState, n_blocks_10ms: int, mult: int):
+    """control.process's startup branch on batch-leading scalars."""
+    filled = (rbuf.available_read(ctrl.farend_buf)
+              // D.FRAME_LEN).astype(I32)
+
+    ctr = ctrl.check_buf_size_ctr + 1
+    first_val = jnp.where(ctrl.counter == 0, ctrl.ms_in_sndcard_buf,
+                          ctrl.first_val)
+    acc = jnp.where(ctrl.counter == 0, I32(0), ctrl.sum)
+    thresh = jnp.maximum(F32(0.2) * ctrl.ms_in_sndcard_buf.astype(F32),
+                         F32(D.SAMP_MS_NB))
+    stable = (jnp.abs(first_val - ctrl.ms_in_sndcard_buf).astype(F32)
+              < thresh)
+    acc = jnp.where(stable, acc + ctrl.ms_in_sndcard_buf, acc)
+    counter = jnp.where(stable, ctrl.counter + 1, I32(0))
+
+    done_avg = counter * n_blocks_10ms >= 6
+    size_avg = jnp.minimum(
+        spl.div_trunc(3 * acc * mult, counter * 40), I32(D.BUF_SIZE_FRAMES))
+    done_timeout = ctr * n_blocks_10ms > 50
+    size_timeout = jnp.minimum(
+        spl.div_trunc(3 * ctrl.ms_in_sndcard_buf * mult, I32(40)),
+        I32(D.BUF_SIZE_FRAMES))
+
+    buf_size_start = jnp.where(
+        done_timeout, size_timeout,
+        jnp.where(done_avg, size_avg, ctrl.buf_size_start))
+    check_buff_size = jnp.where(done_avg | done_timeout, I32(0), I32(1))
+
+    checking = ctrl.check_buff_size != 0
+    ctrl = ctrl._replace(
+        check_buf_size_ctr=jnp.where(checking, ctr, ctrl.check_buf_size_ctr),
+        first_val=jnp.where(checking, first_val, ctrl.first_val),
+        sum=jnp.where(checking, acc, ctrl.sum),
+        counter=jnp.where(checking, counter, ctrl.counter),
+        buf_size_start=jnp.where(checking, buf_size_start,
+                                 ctrl.buf_size_start),
+        check_buff_size=jnp.where(checking, check_buff_size,
+                                  ctrl.check_buff_size))
+
+    settled = ctrl.check_buff_size == 0
+    enable_eq = settled & (filled == ctrl.buf_size_start)
+    enable_gt = settled & (filled > ctrl.buf_size_start)
+    avail = rbuf.available_read(ctrl.farend_buf)
+    farend_buf = rbuf.move_read_ptr(
+        ctrl.farend_buf,
+        jnp.where(enable_gt, avail - ctrl.buf_size_start * D.FRAME_LEN,
+                  I32(0)))
+    ec_startup = jnp.where(enable_eq | enable_gt, I32(0), ctrl.ec_startup)
+    return ctrl._replace(farend_buf=farend_buf, ec_startup=ec_startup)
+
+
+def _est_buf_delay_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
+    """control._est_buf_delay on batch-leading scalars."""
+    n_samp_far = rbuf.available_read(ctrl.farend_buf)
+    n_samp_sndcard = ctrl.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
+    delay_new = n_samp_sndcard - n_samp_far
+
+    shortfall = delay_new < D.FRAME_LEN
+    farend_buf = rbuf.move_read_ptr(
+        ctrl.farend_buf, jnp.where(shortfall, I32(D.FRAME_LEN), I32(0)))
+    delay_new = jnp.where(shortfall, delay_new + D.FRAME_LEN, delay_new)
+
+    filt_delay = jnp.maximum(
+        I32(0), spl.div_trunc(8 * ctrl.filt_delay + 2 * delay_new, I32(10)))
+
+    diff = filt_delay - ctrl.known_delay
+    inc_hi = jnp.where(ctrl.last_delay_diff < 96, I32(0),
+                       ctrl.time_for_delay_change + 1)
+    inc_lo = jnp.where(ctrl.last_delay_diff > 224, I32(0),
+                       ctrl.time_for_delay_change + 1)
+    time_for_delay_change = jnp.where(
+        diff > 224, inc_hi,
+        jnp.where((diff < 96) & (ctrl.known_delay > 0), inc_lo, I32(0)))
+
+    known_delay = jnp.where(time_for_delay_change > 25,
+                            jnp.maximum(filt_delay - 160, I32(0)),
+                            ctrl.known_delay)
+    return ctrl._replace(farend_buf=farend_buf, filt_delay=filt_delay,
+                         time_for_delay_change=time_for_delay_change,
+                         known_delay=known_delay, last_delay_diff=diff)
+
+
+def _precompute_cng_phases(core_f, run_mask_b, n_frames: int):
+    """Advance the CNG LCG chain and do the phase-table lookups in XLA,
+    before the kernel runs.  The chain is gated exactly like the in-graph
+    reference: seed advances 64 draws per ACTIVE block slot when cngMode
+    is on (core.comfort_noise + process_block's use_cng select +
+    process_frame's active mask).  Returns (cos_all, sin_all) with shape
+    (n_frames*2*64, B) lane-major, plus the new seed row (1, B).
+
+    Everything runs lane-major ((64, B) LCG rows via the (64, 1) power
+    tables — zero transposes) and all 2*n_frames slot lookups batch into
+    ONE int8-MXU table contraction (the lookup dominated the driver at
+    ~0.36 ms/chunk when done per-slot)."""
+    a_np, c_np = spl._lcg_tables(D.PART_LEN)
+    a_col = jnp.asarray(a_np)[:, None]             # (64, 1) uint32
+    c_col = jnp.asarray(c_np)[:, None]
+
+    seed = core_f.seed                             # (1, B) uint32
+    fill = core_f.frame_fill                       # (1, B)
+    cng = core_f.cng_mode != 0
+    run = run_mask_b                               # (1, B) bool
+
+    idx_rows = []
+    for _ in range(n_frames):
+        two = fill >= 48
+        for k in range(2):
+            act = run if k == 0 else (two & run)
+            seeds_n = (a_col * seed + c_col) & U32(spl._LCG_MASK)  # (64, B)
+            rand_w16 = (seeds_n >> U32(16)).astype(I32)
+            idx_rows.append((359 * rand_w16) >> 15)
+            seed = jnp.where(act & cng, seeds_n[-1:], seed)
+        fill = jnp.where(run, jnp.where(two, fill - 48, fill + 16), fill)
+    idx_all = jnp.concatenate(idx_rows, axis=0)    # (n_frames*128, B)
+    cos_all, sin_all = core_mod._phase_table_lookup(idx_all)
+    return cos_all, sin_all, seed
+
+
+def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
+                        cos_all, sin_all, run_mask_lm, mult: int,
+                        n_frames: int, has_clean: bool, abs_approx: bool):
+    """Run frames_step inside one pallas_call, grid over 128-lane tiles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = far_lm.shape[-1]
+    assert b % LANE_TILE == 0, b
+    leaves, treedef = jax.tree_util.tree_flatten(core_f)
+    t_leaves = list(t)
+
+    data_in = [far_lm, noisy_lm] + ([clean_lm] if has_clean else []) + [
+        cos_all, sin_all, run_mask_lm.astype(I32)]
+    n_tables = len(t_leaves)
+    n_data = len(data_in)
+
+    def kernel(*refs):
+        t_refs = refs[:n_tables]
+        d_refs = refs[n_tables:n_tables + n_data]
+        s_refs = refs[n_tables + n_data:
+                      n_tables + n_data + len(leaves)]
+        out_ref = refs[n_tables + n_data + len(leaves)]
+        so_refs = refs[n_tables + n_data + len(leaves) + 1:]
+
+        tt = Tables(*[r[:] for r in t_refs])
+        dd = [r[:] for r in d_refs]
+        core_vals = jax.tree_util.tree_unflatten(
+            treedef, [r[:] for r in s_refs])
+        far_v, noisy_v = dd[0], dd[1]
+        clean_v = dd[2] if has_clean else None
+        ci = 3 if has_clean else 2
+        cos_v, sin_v, run_v = dd[ci], dd[ci + 1], dd[ci + 2]
+
+        core_out, out = frames_step(core_vals, tt, far_v, noisy_v, clean_v,
+                                    cos_v, sin_v, run_v != 0, mult,
+                                    n_frames, has_clean, abs_approx)
+        out_ref[:] = out
+        for r, v in zip(so_refs,
+                        jax.tree_util.tree_leaves(core_out)):
+            r[:] = v
+
+    def tile_spec(x):
+        return pl.BlockSpec((x.shape[0], LANE_TILE),
+                            lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def table_spec(x):
+        return pl.BlockSpec(x.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([table_spec(x) for x in t_leaves]
+                + [tile_spec(x) for x in data_in]
+                + [tile_spec(x) for x in leaves])
+    out_len_rows = n_frames * D.FRAME_LEN
+    out_shapes = ([jax.ShapeDtypeStruct((out_len_rows, b), I32)]
+                  + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves])
+    out_specs = ([pl.BlockSpec((out_len_rows, LANE_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+                 + [tile_spec(x) for x in leaves])
+    aliases = {n_tables + n_data + k: 1 + k for k in range(len(leaves))}
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b // LANE_TILE,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            # ~25 KB/stream of state double-buffered in+out busts the
+            # default 16 MB scoped-VMEM budget; v5e has 128 MB.
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*(t_leaves + data_in + leaves))
+    out = res[0]
+    core_out = jax.tree_util.tree_unflatten(treedef, list(res[1:]))
+    return core_out, out
+
+
+def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
+                          use_kernel: Optional[bool] = None,
+                          abs_approx: bool = False):
+    """One 10 ms serving step (BufferFarend + Process) on FusedState.
+
+    Drop-in equivalent of parallel.batch.make_chunk_step, bit-exact with
+    it (tests/test_fused.py, tools/check_fused_parity.py); the core path
+    runs as a single Pallas kernel on TPU (use_kernel=None: auto — kernel
+    when the default backend is TPU, pure jnp otherwise).
+    """
+    if has_clean:
+        raise NotImplementedError(
+            "fused path covers the clean=None serving config; use the XLA "
+            "path (parallel.batch.make_chunk_step) for dual-input calls")
+    mult = sample_rate // 8000
+    out_len = min(160, sample_rate // 100)
+    n_frames = out_len // D.FRAME_LEN
+    n_blocks_10ms = n_frames // mult
+    est_idx = 0 if sample_rate == 8000 else 1
+
+    def step(state: FusedState, far, noisy, ms_in_sndcard_buf):
+        kernel_on = use_kernel
+        if kernel_on is None:
+            kernel_on = jax.default_backend() == "tpu"
+        t = make_tables()
+
+        state = buffer_farend_fused(state, far, mult)
+        ctrl, core_f = state.ctrl, state.core
+
+        b = state.ctrl.ec_startup.shape[0]
+        ms = jnp.broadcast_to(jnp.asarray(ms_in_sndcard_buf, I32), (b,))
+        warn = jnp.where((ms < 0) | (ms > 500),
+                         I32(D.AECM_BAD_PARAMETER_WARNING), I32(0))
+        ms = jnp.clip(ms, 0, 500) + 10
+        ctrl = ctrl._replace(ms_in_sndcard_buf=ms)
+
+        in_startup = ctrl.ec_startup != 0
+        run = ~in_startup                              # (B,)
+        started = _startup_ctrl(ctrl, n_blocks_10ms, mult)
+
+        # --- enabled branch: ring reads + delay governance (run-gated) ---
+        noisy_b = jnp.asarray(noisy, I32)
+        frames_far = []
+        for i in range(n_frames):
+            filled = (rbuf.available_read(ctrl.farend_buf)
+                      // D.FRAME_LEN).astype(I32)
+            have_data = (filled > 0) & run
+            frame, read_buf = jax.vmap(
+                lambda rb: rbuf.read(rb, D.FRAME_LEN))(ctrl.farend_buf)
+            fb = ctrl.farend_buf._replace(
+                read_pos=jnp.where(have_data, read_buf.read_pos,
+                                   ctrl.farend_buf.read_pos),
+                rw_wrap=jnp.where(have_data, read_buf.rw_wrap,
+                                  ctrl.farend_buf.rw_wrap))
+            old_i = ctrl.farend_old[:, i, :]
+            farend_i = jnp.where(have_data[:, None], frame, old_i)
+            farend_old = ctrl.farend_old.at[:, i, :].set(
+                jnp.where(run[:, None], farend_i, old_i))
+            ctrl = ctrl._replace(farend_buf=fb, farend_old=farend_old)
+            frames_far.append(farend_i)
+            if i == est_idx:
+                est = _est_buf_delay_ctrl(ctrl, mult)
+                est_on = run
+                ctrl = ctrl._replace(
+                    farend_buf=ctrl.farend_buf._replace(
+                        read_pos=jnp.where(est_on,
+                                           est.farend_buf.read_pos,
+                                           ctrl.farend_buf.read_pos),
+                        rw_wrap=jnp.where(est_on, est.farend_buf.rw_wrap,
+                                          ctrl.farend_buf.rw_wrap)),
+                    **{f: jnp.where(est_on, getattr(est, f),
+                                    getattr(ctrl, f))
+                       for f in ("filt_delay", "time_for_delay_change",
+                                 "known_delay", "last_delay_diff")})
+
+        # --- CNG RNG chain + phase lookups, hoisted pre-kernel ---
+        cos_all, sin_all, new_seed = _precompute_cng_phases(
+            core_f, run, n_frames)
+        core_f = core_f._replace(seed=new_seed)
+
+        far_lm = jnp.concatenate(
+            [jnp.asarray(f, I32).T for f in frames_far], axis=0)
+        noisy_lm = noisy_b.reshape(-1, n_frames, D.FRAME_LEN
+                                   ).transpose(1, 2, 0).reshape(
+            n_frames * D.FRAME_LEN, -1)
+        run_lm = run[None, :]
+
+        if kernel_on:
+            core_f, out_lm = _frames_kernel_call(
+                core_f, t, far_lm, noisy_lm, None, cos_all, sin_all,
+                run_lm, mult, n_frames, False, abs_approx)
+        else:
+            core_f, out_lm = frames_step(
+                core_f, t, far_lm, noisy_lm, None, cos_all, sin_all,
+                run_lm, mult, n_frames, False, abs_approx)
+
+        out = out_lm.reshape(n_frames, D.FRAME_LEN, -1
+                             ).transpose(2, 0, 1).reshape(
+            -1, n_frames * D.FRAME_LEN)
+        out = jnp.where(in_startup[:, None], noisy_b, out)
+
+        # --- final merge: startup-owned fields from `started` ---
+        ctrl = ctrl._replace(
+            farend_buf=ctrl.farend_buf._replace(
+                read_pos=jnp.where(in_startup, started.farend_buf.read_pos,
+                                   ctrl.farend_buf.read_pos),
+                rw_wrap=jnp.where(in_startup, started.farend_buf.rw_wrap,
+                                  ctrl.farend_buf.rw_wrap)),
+            **{f: jnp.where(in_startup, getattr(started, f),
+                            getattr(ctrl, f))
+               for f in ("ec_startup", "check_buff_size",
+                         "check_buf_size_ctr", "counter", "sum",
+                         "first_val", "buf_size_start")})
+        return FusedState(ctrl=ctrl, core=core_f), out, warn
+
+    return step
+
+
+def run_streams_fused(state: FusedState, far, near, sample_rate: int,
+                      ms_in_sndcard_buf=40,
+                      use_kernel: Optional[bool] = None):
+    """parallel.batch.run_streams on the fused path: whole signals in one
+    jittable lax.scan over 10 ms chunks, the core path as one Pallas kernel
+    per chunk.  far/near: (n_streams, n_samples); returns (state, out)."""
+    chunk = min(160, sample_rate // 100)
+    far = jnp.asarray(far, I32)
+    near = jnp.asarray(near, I32)
+    n_streams, n_samples = near.shape
+    n_chunks = n_samples // chunk
+
+    def to_time_major(x):
+        return x[:, :n_chunks * chunk].reshape(
+            n_streams, n_chunks, chunk).transpose(1, 0, 2)
+
+    ms = jnp.asarray(ms_in_sndcard_buf, I32)
+    if ms.ndim == 0 or (ms.ndim == 1 and ms.shape[0] == n_streams):
+        ms_t = jnp.broadcast_to(ms, (n_chunks, n_streams))
+    elif ms.ndim == 1:
+        ms_t = jnp.broadcast_to(ms[:, None], (n_chunks, n_streams))
+    else:
+        ms_t = ms
+
+    step = make_fused_chunk_step(sample_rate, use_kernel=use_kernel)
+
+    def scan_fn(st, xs):
+        f, d, m = xs
+        st, out, _ = step(st, f, d, m)
+        return st, out
+
+    state, outs = jax.lax.scan(
+        scan_fn, state, (to_time_major(far), to_time_major(near), ms_t))
+    out = outs.transpose(1, 0, 2).reshape(n_streams, n_chunks * chunk)
+    return state, out
