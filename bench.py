@@ -40,7 +40,7 @@ def main() -> None:
     except Exception:
         pass
 
-    from webrtc_aecm_tpu.parallel import batch as pbatch
+    from webrtc_aecm_tpu import fused
 
     rate = 16000
     chunk = rate // 100
@@ -66,8 +66,11 @@ def main() -> None:
 
     _log(f"backend={jax.default_backend()} streams={n_streams} "
          f"audio={audio_s}s")
-    state0 = pbatch.create_batch(n_streams, rate)
-    run = jax.jit(lambda s, f, d: pbatch.run_streams(s, f, d, rate, 40))
+    # Flagship serving path: the fused lane-major pipeline — whole core
+    # path as one Pallas kernel per chunk (webrtc_aecm_tpu/fused.py),
+    # bit-exact with the XLA path and the C oracle.
+    state0 = fused.create_fused(n_streams, rate)
+    run = jax.jit(lambda s, f, d: fused.run_streams_fused(s, f, d, rate, 40))
 
     # Warmup: compile + one full run (also converges NLMS once).
     compiled = run.lower(state0, far, near).compile()

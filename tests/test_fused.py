@@ -45,9 +45,13 @@ def test_fused_pure_matches_xla_path(fs):
     B, n_chunks = 8, 120
     chunk = min(160, fs // 100)
     far, near = _scene(fs, B, n_chunks)
-    # varying sndcard delay exercises EstBufDelay / DelayComp under run_mask
-    ms = np.full(n_chunks, 40, np.int32)
-    ms[60:70] = 120
+    # per-(chunk, stream) sndcard delays: exercises EstBufDelay/DelayComp
+    # under run_mask AND desynchronizes startup lengths across streams so
+    # jitter-ring writes clamp (partial n_write) on some streams only
+    ms = np.full((n_chunks, B), 40, np.int32)
+    ms += 15 * (np.arange(B, dtype=np.int32) % 5)[None, :]
+    ms[60:70] += 80
+    ms[:20] += 23 * (np.arange(B, dtype=np.int32) % 7)[None, :]
 
     st = pbatch.create_batch(B, fs)
     ref_state, ref_out = jax.jit(
@@ -87,3 +91,34 @@ def test_fused_fft_matches_ops_fft():
     out_f, sc_f = fused._real_inverse_fft(re.T, im.T, t)
     np.testing.assert_array_equal(np.asarray(out_f.T), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(sc_f[0]), np.asarray(sc_ref))
+
+
+def test_pipeline_fused_engine(tmp_path):
+    """AecmPipeline(engine='fused') == engine='xla': run/step/config/
+    checkpoint, including a cross-engine checkpoint resume."""
+    from webrtc_aecm_tpu.models import AecmPipeline
+    fs, B, n_chunks = 16000, 4, 30
+    chunk = 160
+    far, near = _scene(fs, B, n_chunks)
+
+    p1 = AecmPipeline(B, fs, engine="xla")
+    p2 = AecmPipeline(B, fs, engine="fused")
+    np.testing.assert_array_equal(np.asarray(p1.run(far, near)),
+                                  np.asarray(p2.run(far, near)))
+    np.testing.assert_array_equal(p1.get_echo_paths(), p2.get_echo_paths())
+
+    p1.set_config(1, 2)
+    p2.set_config(1, 2)
+    np.testing.assert_array_equal(np.asarray(p1.run(far, near)),
+                                  np.asarray(p2.run(far, near)))
+
+    o1, _ = p1.step(far[:, :chunk], near[:, :chunk])
+    o2, _ = p2.step(far[:, :chunk], near[:, :chunk])
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    ck = str(tmp_path / "ck.npz")
+    p2.save(ck)
+    p3 = AecmPipeline(B, fs, engine="xla")
+    p3.load(ck)
+    np.testing.assert_array_equal(np.asarray(p3.run(far, near)),
+                                  np.asarray(p1.run(far, near)))

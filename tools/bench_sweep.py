@@ -49,7 +49,7 @@ def main():
     except Exception:
         pass
 
-    from webrtc_aecm_tpu.parallel import batch as pbatch
+    from webrtc_aecm_tpu import fused
 
     rate = 16000
     audio_s = float(os.environ.get("AECM_BENCH_AUDIO_S", "1.0"))
@@ -66,8 +66,9 @@ def main():
         far_np, near_np = make_scenes(n_streams, n_samples, rate)
         far = jnp.asarray(far_np, jnp.int32)
         near = jnp.asarray(near_np, jnp.int32)
-        state0 = pbatch.create_batch(n_streams, rate)
-        run = jax.jit(lambda s, f, d: pbatch.run_streams(s, f, d, rate, 40))
+        state0 = fused.create_fused(n_streams, rate)
+        run = jax.jit(
+            lambda s, f, d: fused.run_streams_fused(s, f, d, rate, 40))
         compiled = run.lower(state0, far, near).compile()
         state, out = compiled(state0, far, near)
         jax.block_until_ready(out)

@@ -40,8 +40,14 @@ def check(fs: int) -> None:
                     for b in range(B)]).astype(np.int16)
     near = (0.4 * far + rng.normal(0, 150, far.shape)
             ).clip(-32000, 32000).astype(np.int16)
-    ms = np.full(n_chunks, 40, np.int32)
-    ms[60:70] = 120
+    # per-(chunk, stream) sndcard delays: the mid-run burst exercises
+    # DelayComp stuffing; per-stream offsets desynchronize startup lengths
+    # so some streams' rings clamp partial writes while others don't —
+    # driving _ring_write_gather's non-uniform (Pallas write) branch.
+    ms = np.full((n_chunks, B), 40, np.int32)
+    ms += 15 * (np.arange(B, dtype=np.int32) % 5)[None, :]
+    ms[60:70] += 80
+    ms[:20] += 23 * (np.arange(B, dtype=np.int32) % 7)[None, :]
 
     st = pbatch.create_batch(B, fs)
     ref_state, ref_out = jax.jit(

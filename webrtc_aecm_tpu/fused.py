@@ -48,9 +48,22 @@ U32 = jnp.uint32
 F32 = jnp.float32
 
 import os as _os
-LANE_TILE = int(_os.environ.get("AECM_FUSED_LANE_TILE", "128"))
-# streams per kernel program (multiple of the 128 VPU lane width; larger
-# tiles amortize per-program overhead at the cost of VMEM residency)
+LANE_TILE = int(_os.environ.get("AECM_FUSED_LANE_TILE", "512"))
+# Max streams per kernel program (multiple of the 128 VPU lane width).
+# 512 measured best at B=1024 on v5e: larger tiles amortize per-program
+# overhead and widen vector ops; VMEM residency (~25 KB/stream, doubled
+# for in+out) bounds it.  _pick_tile shrinks to divide the batch.
+
+
+def _pick_tile(b: int) -> int:
+    """Largest multiple of 128 that divides b, capped at LANE_TILE;
+    0 if b is not a multiple of 128 (caller falls back to the pure path)."""
+    t = min(LANE_TILE, b)
+    while t >= 128:
+        if b % t == 0:
+            return t
+        t -= 128
+    return 0
 
 
 # ---------------------------------------------------------------------------
@@ -1262,6 +1275,59 @@ def buffer_farend_fused(state: FusedState, farend, mult: int) -> FusedState:
     return state._replace(ctrl=ctrl._replace(farend_buf=fb))
 
 
+def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
+    """One ring pass per chunk: wrapped write then a wrapped gather of the
+    post-write data.
+
+    The write has a uniform fast path: every stream writes the same
+    (count, position) each chunk — positions only diverge if some streams'
+    rings clamp a partial write while others don't — so in the common case
+    the write is one wrap-folded dynamic-update-slice at a single scalar
+    offset, pure XLA at bandwidth.  A lax.cond falls back to the per-stream
+    Pallas write kernel (~0.33 ms at B=1024) when positions diverge.  The
+    gather offsets genuinely differ per stream (per-stream delays), so the
+    gather always runs the Pallas kernel (~0.1 ms)."""
+    from .ops.pallas_ring import STREAM_TILE
+    import os
+    b, cap = data.shape
+    cnt = values.shape[-1]
+    vals16 = values.astype(data.dtype)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and not os.environ.get("AECM_DISABLE_PALLAS")
+                  and b % STREAM_TILE == 0)
+
+    def write_uniform(d):
+        p0, w0 = wpos[0], n_write[0]
+        dd = jnp.concatenate([d, d[:, :cnt]], axis=-1)
+        window = jax.lax.dynamic_slice(dd, (0, p0), (b, cnt))
+        lanes = jnp.arange(cnt, dtype=I32)[None, :]
+        merged = jnp.where(lanes < w0, vals16, window)
+        dd = jax.lax.dynamic_update_slice(dd, merged, (0, p0))
+        head = jnp.where(lanes < p0 + w0 - cap, dd[:, cap:cap + cnt],
+                         dd[:, :cnt])
+        return jnp.concatenate([head, dd[:, cnt:cap]], axis=-1)
+
+    if use_pallas:
+        from .ops.pallas_ring import ring_gather_tpu, ring_write_tpu
+        uniform = (jnp.all(wpos == wpos[0]) & jnp.all(n_write == n_write[0]))
+        new_data = jax.lax.cond(
+            uniform, write_uniform,
+            lambda d: ring_write_tpu(d, wpos, vals16, n_write), data)
+        gathered = ring_gather_tpu(new_data, rpos, n_read)
+        return new_data, gathered.astype(I32)
+
+    padded = jnp.concatenate(
+        [vals16, jnp.zeros((b, cap - cnt), data.dtype)], axis=-1)
+    rolled = jax.vmap(lambda v, p: jnp.roll(v, p, axis=-1))(padded, wpos)
+    offset = (jnp.arange(cap, dtype=I32)[None, :] - wpos[:, None]) % cap
+    new_data = jnp.where(offset < n_write[:, None], rolled, data)
+    doubled = jnp.concatenate([new_data, new_data[:, :n_read]], axis=-1)
+    gathered = jax.vmap(
+        lambda d, p: jax.lax.dynamic_slice_in_dim(d, p, n_read, axis=-1)
+    )(doubled, rpos)
+    return new_data, gathered.astype(I32)
+
+
 def _startup_ctrl(ctrl: CtrlState, n_blocks_10ms: int, mult: int):
     """control.process's startup branch on batch-leading scalars."""
     filled = (rbuf.available_read(ctrl.farend_buf)
@@ -1389,7 +1455,8 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
     from jax.experimental.pallas import tpu as pltpu
 
     b = far_lm.shape[-1]
-    assert b % LANE_TILE == 0, b
+    lane_tile = _pick_tile(b)
+    assert lane_tile, f"batch {b} not a multiple of 128"
     leaves, treedef = jax.tree_util.tree_flatten(core_f)
     t_leaves = list(t)
 
@@ -1424,7 +1491,7 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
             r[:] = v
 
     def tile_spec(x):
-        return pl.BlockSpec((x.shape[0], LANE_TILE),
+        return pl.BlockSpec((x.shape[0], lane_tile),
                             lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def table_spec(x):
@@ -1437,14 +1504,14 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
     out_len_rows = n_frames * D.FRAME_LEN
     out_shapes = ([jax.ShapeDtypeStruct((out_len_rows, b), I32)]
                   + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves])
-    out_specs = ([pl.BlockSpec((out_len_rows, LANE_TILE), lambda i: (0, i),
+    out_specs = ([pl.BlockSpec((out_len_rows, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)]
                  + [tile_spec(x) for x in leaves])
     aliases = {n_tables + n_data + k: 1 + k for k in range(len(leaves))}
 
     res = pl.pallas_call(
         kernel,
-        grid=(b // LANE_TILE,),
+        grid=(b // lane_tile,),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1461,13 +1528,20 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
 
 def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                           use_kernel: Optional[bool] = None,
-                          abs_approx: bool = False):
+                          abs_approx: bool = False,
+                          lane_major_io: bool = False):
     """One 10 ms serving step (BufferFarend + Process) on FusedState.
 
     Drop-in equivalent of parallel.batch.make_chunk_step, bit-exact with
     it (tests/test_fused.py, tools/check_fused_parity.py); the core path
     runs as a single Pallas kernel on TPU (use_kernel=None: auto — kernel
     when the default backend is TPU, pure jnp otherwise).
+
+    lane_major_io: nearend comes in and output returns as (out_len, B)
+    lane-major instead of (B, out_len) — the offline driver
+    (run_streams_fused) uses this to hoist the per-chunk layout transposes
+    out of the scan.  `far` stays (B, out_len) (it feeds the batch-leading
+    jitter ring).
     """
     if has_clean:
         raise NotImplementedError(
@@ -1483,10 +1557,38 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         kernel_on = use_kernel
         if kernel_on is None:
             kernel_on = jax.default_backend() == "tpu"
+        if kernel_on and _pick_tile(state.ctrl.ec_startup.shape[0]) == 0:
+            kernel_on = False          # batch not tileable: pure path
         t = make_tables()
 
-        state = buffer_farend_fused(state, far, mult)
         ctrl, core_f = state.ctrl, state.core
+        far_b = jnp.asarray(far, I32)
+
+        # --- BufferFarend: delay comp + write POINTER math; the ring data
+        # pass itself is deferred and fused with the frame reads into one
+        # streaming kernel (three full-ring passes/chunk were the dominant
+        # driver cost) ---
+        comped = _delay_comp_ctrl(ctrl, mult)
+        enabled = ctrl.ec_startup == 0
+        ctrl = ctrl._replace(
+            farend_buf=ctrl.farend_buf._replace(
+                read_pos=jnp.where(enabled, comped.farend_buf.read_pos,
+                                   ctrl.farend_buf.read_pos),
+                rw_wrap=jnp.where(enabled, comped.farend_buf.rw_wrap,
+                                  ctrl.farend_buf.rw_wrap)),
+            delay_change=jnp.where(enabled, comped.delay_change,
+                                   ctrl.delay_change))
+        fb = ctrl.farend_buf
+        cap = fb.capacity
+        free = rbuf.available_write(fb)
+        n_write = jnp.minimum(free, I32(out_len))
+        margin = cap - fb.write_pos
+        wrapped = n_write > margin
+        write_pos0 = fb.write_pos
+        ctrl = ctrl._replace(farend_buf=fb._replace(
+            write_pos=jnp.where(wrapped, n_write - margin,
+                                fb.write_pos + n_write),
+            rw_wrap=jnp.where(wrapped, I32(rbuf.DIFF_WRAP), fb.rw_wrap)))
 
         b = state.ctrl.ec_startup.shape[0]
         ms = jnp.broadcast_to(jnp.asarray(ms_in_sndcard_buf, I32), (b,))
@@ -1499,26 +1601,18 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         run = ~in_startup                              # (B,)
         started = _startup_ctrl(ctrl, n_blocks_10ms, mult)
 
-        # --- enabled branch: ring reads + delay governance (run-gated) ---
-        noisy_b = jnp.asarray(noisy, I32)
-        frames_far = []
+        # --- enabled branch: frame availability + delay governance
+        # (pointer-only; run-gated) ---
+        read_pos0 = ctrl.farend_buf.read_pos
+        haves = []
         for i in range(n_frames):
             filled = (rbuf.available_read(ctrl.farend_buf)
                       // D.FRAME_LEN).astype(I32)
             have_data = (filled > 0) & run
-            frame, read_buf = jax.vmap(
-                lambda rb: rbuf.read(rb, D.FRAME_LEN))(ctrl.farend_buf)
-            fb = ctrl.farend_buf._replace(
-                read_pos=jnp.where(have_data, read_buf.read_pos,
-                                   ctrl.farend_buf.read_pos),
-                rw_wrap=jnp.where(have_data, read_buf.rw_wrap,
-                                  ctrl.farend_buf.rw_wrap))
-            old_i = ctrl.farend_old[:, i, :]
-            farend_i = jnp.where(have_data[:, None], frame, old_i)
-            farend_old = ctrl.farend_old.at[:, i, :].set(
-                jnp.where(run[:, None], farend_i, old_i))
-            ctrl = ctrl._replace(farend_buf=fb, farend_old=farend_old)
-            frames_far.append(farend_i)
+            haves.append(have_data)
+            ctrl = ctrl._replace(farend_buf=rbuf.move_read_ptr(
+                ctrl.farend_buf,
+                jnp.where(have_data, I32(D.FRAME_LEN), I32(0))))
             if i == est_idx:
                 est = _est_buf_delay_ctrl(ctrl, mult)
                 est_on = run
@@ -1534,6 +1628,26 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                        for f in ("filt_delay", "time_for_delay_change",
                                  "known_delay", "last_delay_diff")})
 
+        # --- the single ring data pass: write this chunk's far frame(s),
+        # gather the frame window at the enabled-branch read position.
+        # haves[i+1] implies haves[i] (frame i+1's availability check runs
+        # after frame i consumed), so frame i's source is gathered[i*80:]. ---
+        new_ring, gathered = _ring_write_gather(
+            fb.data, write_pos0, far_b, n_write, read_pos0, out_len)
+        ctrl = ctrl._replace(
+            farend_buf=ctrl.farend_buf._replace(data=new_ring))
+        frames_far = []
+        farend_old = ctrl.farend_old
+        for i in range(n_frames):
+            old_i = farend_old[:, i, :]
+            farend_i = jnp.where(
+                haves[i][:, None],
+                gathered[:, i * D.FRAME_LEN:(i + 1) * D.FRAME_LEN], old_i)
+            farend_old = farend_old.at[:, i, :].set(
+                jnp.where(run[:, None], farend_i, old_i))
+            frames_far.append(farend_i)
+        ctrl = ctrl._replace(farend_old=farend_old)
+
         # --- CNG RNG chain + phase lookups, hoisted pre-kernel ---
         cos_all, sin_all, new_seed = _precompute_cng_phases(
             core_f, run, n_frames)
@@ -1541,9 +1655,13 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
 
         far_lm = jnp.concatenate(
             [jnp.asarray(f, I32).T for f in frames_far], axis=0)
-        noisy_lm = noisy_b.reshape(-1, n_frames, D.FRAME_LEN
-                                   ).transpose(1, 2, 0).reshape(
-            n_frames * D.FRAME_LEN, -1)
+        if lane_major_io:
+            noisy_lm = jnp.asarray(noisy, I32)
+        else:
+            noisy_b = jnp.asarray(noisy, I32)
+            noisy_lm = noisy_b.reshape(-1, n_frames, D.FRAME_LEN
+                                       ).transpose(1, 2, 0).reshape(
+                n_frames * D.FRAME_LEN, -1)
         run_lm = run[None, :]
 
         if kernel_on:
@@ -1555,10 +1673,13 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                 core_f, t, far_lm, noisy_lm, None, cos_all, sin_all,
                 run_lm, mult, n_frames, False, abs_approx)
 
-        out = out_lm.reshape(n_frames, D.FRAME_LEN, -1
-                             ).transpose(2, 0, 1).reshape(
-            -1, n_frames * D.FRAME_LEN)
-        out = jnp.where(in_startup[:, None], noisy_b, out)
+        if lane_major_io:
+            out = jnp.where(in_startup[None, :], noisy_lm, out_lm)
+        else:
+            out = out_lm.reshape(n_frames, D.FRAME_LEN, -1
+                                 ).transpose(2, 0, 1).reshape(
+                -1, n_frames * D.FRAME_LEN)
+            out = jnp.where(in_startup[:, None], noisy_b, out)
 
         # --- final merge: startup-owned fields from `started` ---
         ctrl = ctrl._replace(
@@ -1593,6 +1714,9 @@ def run_streams_fused(state: FusedState, far, near, sample_rate: int,
         return x[:, :n_chunks * chunk].reshape(
             n_streams, n_chunks, chunk).transpose(1, 0, 2)
 
+    def to_lane_major(x):  # (B, T) -> (n_chunks, chunk, B): ONE transpose
+        return x[:, :n_chunks * chunk].T.reshape(n_chunks, chunk, n_streams)
+
     ms = jnp.asarray(ms_in_sndcard_buf, I32)
     if ms.ndim == 0 or (ms.ndim == 1 and ms.shape[0] == n_streams):
         ms_t = jnp.broadcast_to(ms, (n_chunks, n_streams))
@@ -1601,7 +1725,8 @@ def run_streams_fused(state: FusedState, far, near, sample_rate: int,
     else:
         ms_t = ms
 
-    step = make_fused_chunk_step(sample_rate, use_kernel=use_kernel)
+    step = make_fused_chunk_step(sample_rate, use_kernel=use_kernel,
+                                 lane_major_io=True)
 
     def scan_fn(st, xs):
         f, d, m = xs
@@ -1609,6 +1734,6 @@ def run_streams_fused(state: FusedState, far, near, sample_rate: int,
         return st, out
 
     state, outs = jax.lax.scan(
-        scan_fn, state, (to_time_major(far), to_time_major(near), ms_t))
-    out = outs.transpose(1, 0, 2).reshape(n_streams, n_chunks * chunk)
+        scan_fn, state, (to_time_major(far), to_lane_major(near), ms_t))
+    out = outs.reshape(n_chunks * chunk, n_streams).T
     return state, out

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import control
+from .. import fused as fused_mod
 from ..parallel import batch as pbatch
 from ..parallel import sharding as psharding
 
@@ -39,38 +40,67 @@ class AecmPipeline:
       mesh: optional `jax.sharding.Mesh`; when given, state and audio are
         sharded on the stream axis across its devices (n_streams must be
         divisible by the mesh size).
+      engine: "fused" (the lane-major single-kernel serving path,
+        webrtc_aecm_tpu/fused.py), "xla" (the vmapped reference path), or
+        "auto" (fused on TPU, xla elsewhere).  Both engines are bit-exact
+        with each other and the C reference; fused is ~1.6x faster on TPU.
+        Dual-input (clean) calls fall back to the xla path per call.
     """
 
     def __init__(self, n_streams: int, sample_rate: int = 16000,
-                 cng_mode: int = 1, echo_mode: int = 3, mesh=None):
+                 cng_mode: int = 1, echo_mode: int = 3, mesh=None,
+                 engine: str = "auto"):
         if sample_rate not in (8000, 16000):
             raise ValueError("sample_rate must be 8000 or 16000")
+        if engine == "auto":
+            engine = "fused" if jax.default_backend() == "tpu" else "xla"
+        if engine not in ("fused", "xla"):
+            raise ValueError("engine must be 'fused', 'xla', or 'auto'")
         self.n_streams = n_streams
         self.sample_rate = sample_rate
         self.chunk = min(160, sample_rate // 100)
         self.mesh = mesh
-        self.state = pbatch.create_batch(n_streams, sample_rate,
-                                         cng_mode, echo_mode)
-        if mesh is not None:
-            self.state = psharding.shard_streams(self.state, mesh)
+        self.engine = engine
+        self._set_canonical(pbatch.create_batch(n_streams, sample_rate,
+                                                cng_mode, echo_mode))
         self._step = {}
         self._run = {}
 
+    # -- engine layout adapters ---------------------------------------------
+    def _canonical(self):
+        """The batch-leading AecmState view of the current state."""
+        if self.engine == "fused":
+            return fused_mod.from_fused_state(self.state)
+        return self.state
+
+    def _set_canonical(self, state) -> None:
+        if self.engine == "fused":
+            fstate = fused_mod.to_fused_state(state)
+            if self.mesh is not None:
+                fstate = psharding.shard_streams_fused(fstate, self.mesh)
+            self.state = fstate
+        else:
+            if self.mesh is not None:
+                state = psharding.shard_streams(state, self.mesh)
+            self.state = state
+
     # -- config -------------------------------------------------------------
     def set_config(self, cng_mode, echo_mode) -> None:
-        self.state = jax.jit(pbatch.set_config_batch)(
-            self.state, cng_mode, echo_mode)
+        self._set_canonical(jax.jit(pbatch.set_config_batch)(
+            self._canonical(), cng_mode, echo_mode))
 
     def get_echo_paths(self) -> np.ndarray:
         """(n_streams, 65) stored channels (WebRtcAecm_GetEchoPath, batched)."""
         return np.asarray(
-            jax.vmap(control.get_echo_path)(self.state), dtype=np.int16)
+            jax.vmap(control.get_echo_path)(self._canonical()),
+            dtype=np.int16)
 
     def init_echo_paths(self, echo_paths) -> None:
         """Restore stored channels; echo_paths: (65,) or (n_streams, 65)."""
         ep = jnp.broadcast_to(jnp.asarray(echo_paths, I32),
                               (self.n_streams, 65))
-        self.state = jax.jit(jax.vmap(control.init_echo_path))(self.state, ep)
+        self._set_canonical(jax.jit(jax.vmap(control.init_echo_path))(
+            self._canonical(), ep))
 
     # -- checkpoint / resume --------------------------------------------------
     def save(self, path: str) -> None:
@@ -81,7 +111,7 @@ class AecmPipeline:
         fixed-shape state pytree IS the checkpoint — delay histories, NLMS
         channel, noise floor, jitter ring, startup machine, everything.
         """
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        leaves, treedef = jax.tree_util.tree_flatten(self._canonical())
         np.savez_compressed(
             path,
             __meta__=np.array([self.n_streams, self.sample_rate]),
@@ -96,13 +126,12 @@ class AecmPipeline:
             raise ValueError(
                 f"checkpoint is for {int(n)} streams @ {int(rate)} Hz, "
                 f"pipeline is {self.n_streams} @ {self.sample_rate}")
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        canonical = self._canonical()
+        leaves, treedef = jax.tree_util.tree_flatten(canonical)
         new_leaves = [jnp.asarray(data[f"leaf_{i}"]).astype(x.dtype)
                       for i, x in enumerate(leaves)]
-        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        if self.mesh is not None:
-            state = psharding.shard_streams(state, self.mesh)
-        self.state = state
+        self._set_canonical(
+            jax.tree_util.tree_unflatten(treedef, new_leaves))
 
     def reset_streams(self, indices) -> None:
         """Re-Init selected streams in place (a caller hung up / a new call
@@ -124,18 +153,26 @@ class AecmPipeline:
                 return jnp.where(mm, a, b)
             return jax.tree_util.tree_map(sel, new, cur)
 
-        self.state = apply(self.state, fresh, mask_dev)
+        self._set_canonical(apply(self._canonical(), fresh, mask_dev))
 
     # -- serving ------------------------------------------------------------
     def _get_step(self, has_clean: bool):
-        if has_clean not in self._step:
-            if self.mesh is not None:
-                self._step[has_clean] = psharding.make_sharded_step(
+        key = (has_clean, self.engine)
+        if key not in self._step:
+            if self.engine == "fused" and not has_clean:
+                if self.mesh is not None:
+                    self._step[key] = psharding.make_sharded_step_fused(
+                        self.sample_rate, self.mesh)
+                else:
+                    self._step[key] = jax.jit(
+                        fused_mod.make_fused_chunk_step(self.sample_rate))
+            elif self.mesh is not None:
+                self._step[key] = psharding.make_sharded_step(
                     self.sample_rate, self.mesh, has_clean)
             else:
-                self._step[has_clean] = jax.jit(
+                self._step[key] = jax.jit(
                     pbatch.make_chunk_step(self.sample_rate, has_clean))
-        return self._step[has_clean]
+        return self._step[key]
 
     def step(self, far, near, clean=None, ms_in_sndcard_buf=40):
         """One 10 ms step: far/near (n_streams, chunk) → out (n_streams, chunk).
@@ -147,6 +184,15 @@ class AecmPipeline:
                               (self.n_streams,))
         far = jnp.asarray(far, I32)
         near = jnp.asarray(near, I32)
+        if clean is not None and self.engine == "fused":
+            # dual-input serving runs on the xla path; state round-trips
+            # through the canonical layout (bit-identical)
+            fn = self._get_step_xla_clean()
+            canon = self._canonical()
+            canon, out, warn = fn(canon, far, near,
+                                  jnp.asarray(clean, I32), ms)
+            self._set_canonical(canon)
+            return out, warn
         fn = self._get_step(clean is not None)
         if clean is not None:
             self.state, out, warn = fn(self.state, far, near,
@@ -154,6 +200,17 @@ class AecmPipeline:
         else:
             self.state, out, warn = fn(self.state, far, near, ms)
         return out, warn
+
+    def _get_step_xla_clean(self):
+        key = (True, "xla")
+        if key not in self._step:
+            if self.mesh is not None:
+                self._step[key] = psharding.make_sharded_step(
+                    self.sample_rate, self.mesh, True)
+            else:
+                self._step[key] = jax.jit(
+                    pbatch.make_chunk_step(self.sample_rate, True))
+        return self._step[key]
 
     def run(self, far, near, clean=None, ms_in_sndcard_buf=40):
         """Whole-signal processing: (n_streams, n_samples) → same shape.
@@ -163,20 +220,63 @@ class AecmPipeline:
         main.cc:121-123).
         """
         has_clean = clean is not None
+        rate = self.sample_rate
+        ms = jnp.asarray(ms_in_sndcard_buf, I32)
+        far = jnp.asarray(far, I32)
+        near = jnp.asarray(near, I32)
+
+        if self.engine == "fused" and not has_clean:
+            n_chunks = near.shape[-1] // self.chunk
+            ms2 = self._normalize_ms(ms, n_chunks)
+            key = ("fused", self.mesh is not None)
+            if key not in self._run:
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    st_spec = psharding.fused_state_spec()
+                    fn = jax.shard_map(
+                        lambda s, f, d, m: fused_mod.run_streams_fused(
+                            s, f, d, rate, m),
+                        mesh=self.mesh,
+                        in_specs=(st_spec, P(psharding.STREAM_AXIS),
+                                  P(psharding.STREAM_AXIS),
+                                  P(None, psharding.STREAM_AXIS)),
+                        out_specs=(st_spec, P(psharding.STREAM_AXIS)),
+                        check_vma=False)
+                else:
+                    fn = lambda s, f, d, m: fused_mod.run_streams_fused(
+                        s, f, d, rate, m)
+                self._run[key] = jax.jit(fn)
+            self.state, out = self._run[key](self.state, far, near, ms2)
+            return out
+
         if has_clean not in self._run:
-            rate = self.sample_rate
             if has_clean:
                 fn = lambda s, f, d, c, m: pbatch.run_streams(
                     s, f, d, rate, m, clean=c)
             else:
                 fn = lambda s, f, d, m: pbatch.run_streams(s, f, d, rate, m)
             self._run[has_clean] = jax.jit(fn)
-        ms = jnp.asarray(ms_in_sndcard_buf, I32)
-        far = jnp.asarray(far, I32)
-        near = jnp.asarray(near, I32)
+
+        if self.engine == "fused":                  # has_clean fallback
+            canon = self._canonical()
+            canon, out = self._run[has_clean](
+                canon, far, near, jnp.asarray(clean, I32), ms)
+            self._set_canonical(canon)
+            return out
+
         if has_clean:
             self.state, out = self._run[has_clean](
                 self.state, far, near, jnp.asarray(clean, I32), ms)
         else:
             self.state, out = self._run[has_clean](self.state, far, near, ms)
         return out
+
+    def _normalize_ms(self, ms, n_chunks: int):
+        """Broadcast any accepted ms form to (n_chunks, n_streams) so the
+        sharded fused run uses one fixed PartitionSpec."""
+        ms = jnp.asarray(ms, I32)
+        if ms.ndim == 0 or (ms.ndim == 1 and ms.shape[0] == self.n_streams):
+            return jnp.broadcast_to(ms, (n_chunks, self.n_streams))
+        if ms.ndim == 1:
+            return jnp.broadcast_to(ms[:, None], (n_chunks, self.n_streams))
+        return ms

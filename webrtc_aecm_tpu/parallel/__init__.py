@@ -22,10 +22,14 @@ from .sharding import (
     stream_sharding,
     shard_streams,
     make_sharded_step,
+    fused_state_spec,
+    shard_streams_fused,
+    make_sharded_step_fused,
 )
 
 __all__ = [
     "create_batch", "set_config_batch", "buffer_farend_batch",
     "process_batch", "make_chunk_step", "run_streams",
     "make_mesh", "stream_sharding", "shard_streams", "make_sharded_step",
+    "fused_state_spec", "shard_streams_fused", "make_sharded_step_fused",
 ]

@@ -72,3 +72,45 @@ def make_sharded_step(sample_rate: int, mesh: Mesh, has_clean: bool = False,
     sharded = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
                             out_specs=(spec, spec, spec), check_vma=False)
     return jax.jit(sharded)
+
+
+def fused_state_spec(axis_name: str = STREAM_AXIS):
+    """shard_map pytree-prefix spec for a FusedState: control leaves are
+    batch-leading (B, ...) -> P(streams); core leaves are lane-major
+    (rows, B) -> P(None, streams)."""
+    from .. import fused
+    return fused.FusedState(ctrl=P(axis_name), core=P(None, axis_name))
+
+
+def shard_streams_fused(fstate, mesh: Mesh, axis_name: str = STREAM_AXIS):
+    """Place a FusedState with its stream axis sharded (mixed layouts)."""
+    from .. import fused
+    ctrl = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(axis_name))),
+        fstate.ctrl)
+    core = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, axis_name))),
+        fstate.core)
+    return fused.FusedState(ctrl=ctrl, core=core)
+
+
+def make_sharded_step_fused(sample_rate: int, mesh: Mesh,
+                            use_kernel=None,
+                            axis_name: str = STREAM_AXIS):
+    """The fused serving step (whole core path as one Pallas kernel per
+    device) sharded over the stream axis — the production multi-chip
+    configuration.  Same shard_map rationale as make_sharded_step; each
+    device runs the fused kernel on its local stream tile.
+
+    Returns `step(fstate, far, noisy, ms) -> (fstate, out, warn)`; audio
+    is batch-leading (B, chunk), state is a FusedState."""
+    from .. import fused
+
+    step = fused.make_fused_chunk_step(sample_rate, use_kernel=use_kernel)
+    spec = P(axis_name)
+    st_spec = fused_state_spec(axis_name)
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(st_spec, spec, spec, spec),
+        out_specs=(st_spec, spec, spec), check_vma=False)
+    return jax.jit(sharded)
