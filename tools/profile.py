@@ -276,9 +276,100 @@ def cmd_components():
     timeit(af, (cst, dly), name="core.aligned_farend")
 
 
+def cmd_fused():
+    """Ablate the fused chunk KERNEL by stubbing stages (fused.py).
+
+    Modes (argv[2] or all): full nofft nodelay noalign nohist nochan
+    nocng noenerg noop.  Each stubs one stage inside the kernel body and
+    reports per-chunk time of a kernel-only scan — the deltas locate
+    kernel compute costs the way `ablate` does for the XLA graph.
+    Run each mode in a FRESH process (module monkeypatching + jit caches).
+    """
+    import subprocess
+    all_modes = ["full", "nofft", "nodelay", "noalign", "nohist",
+                 "nochan", "nocng", "noenerg", "noop"]
+    modes = [sys.argv[2]] if len(sys.argv) > 2 else all_modes
+    if modes[0] == "_run":
+        _fused_one(sys.argv[3])
+        return
+    for m in modes:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "fused", "_run", m], check=False)
+
+
+def _fused_one(mode: str):
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import fused
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
+    if mode == "nofft":
+        fused._real_forward_fft = lambda x128, t: (
+            x128[:65] & 0x7FFF, (x128[:65] >> 1) & 0x7FFF)
+        fused._real_inverse_fft = lambda re, im, t: (
+            jnp.concatenate([re, re[:63]], axis=0), jnp.zeros_like(re[:1]))
+    elif mode == "nodelay":
+        fused._process_binary_spectrum_f = (
+            lambda near, farend, bits:
+            (near, jnp.zeros_like(near.last_delay)))
+    elif mode == "noalign":
+        fused._aligned_farend_f = lambda core, delay: (
+            jnp.zeros((65, core.far_history.shape[-1]), jnp.int32)
+            + core.channel_stored * 0 + 1,
+            jnp.zeros((1, core.far_history.shape[-1]), jnp.int32))
+    elif mode == "nohist":
+        fused._update_far_history_f = lambda core, s, q: core
+    elif mode == "nochan":
+        fused._update_channel_f = (
+            lambda core, fs, fq, dfa, mu, ee: (core, ee))
+    elif mode == "nocng":
+        fused._comfort_noise_f = (
+            lambda core, dfa, er, ei, lam, cv, sv: (core, er, ei))
+    elif mode == "noenerg":
+        fused._calc_energies_f = (
+            lambda core, fs, fq, ne: (core, core.channel_stored * fs))
+    elif mode == "noop":
+        def frames_noop(core, t, far, noisy, clean, cos_all, sin_all, run,
+                        mult, n_frames, has_clean, abs_approx=False):
+            return (core._replace(tot_count=core.tot_count + 1),
+                    far[:n_frames * 80])
+        fused.frames_step = frames_noop
+
+    n_frames, n_chunks, mult = 2, 100, 2
+    core_f = fused.create_fused(B, 16000).core
+    t = fused.make_tables()
+    rng = np.random.default_rng(0)
+    mk = lambda r: jnp.asarray(
+        rng.integers(-20000, 20000, (r, B)), jnp.int32)
+    far_lm, noisy_lm = mk(n_frames * 80), mk(n_frames * 80)
+    cos_all, sin_all = mk(n_frames * 128), mk(n_frames * 128)
+    run_lm = jnp.ones((1, B), bool)
+
+    def scan_kernel(c0):
+        def body(c, _):
+            c, out = fused._frames_kernel_call(
+                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_lm,
+                mult, n_frames, False, False)
+            return c, out[:1]
+        return jax.lax.scan(body, c0, None, length=n_chunks)
+
+    f = jax.jit(scan_kernel)
+    r = jax.block_until_ready(f(core_f))
+    t0 = time.monotonic()
+    for _ in range(3):
+        r = f(core_f)
+    jax.block_until_ready(r)
+    per_chunk = (time.monotonic() - t0) / 3 / n_chunks
+    print(f"fused kernel [{mode:8s}] per chunk {per_chunk*1e3:7.3f} ms "
+          f"-> {B * 0.01 / per_chunk:7.0f} streams@RT", flush=True)
+
+
 def main():
     cmds = {"components": cmd_components, "ablate": cmd_ablate,
-            "skeleton": cmd_skeleton}
+            "skeleton": cmd_skeleton, "fused": cmd_fused}
     which = sys.argv[1] if len(sys.argv) > 1 else "ablate"
     if which not in cmds:
         print(f"usage: python tools/profile.py [{'|'.join(cmds)}]")
