@@ -44,7 +44,7 @@ def main() -> None:
 
     rate = 16000
     chunk = rate // 100
-    n_streams = int(os.environ.get("AECM_BENCH_STREAMS", "1024"))
+    n_streams = int(os.environ.get("AECM_BENCH_STREAMS", "4096"))
     audio_s = float(os.environ.get("AECM_BENCH_AUDIO_S", "1.0"))
     n_chunks = int(audio_s * 100)
     n_samples = n_chunks * chunk

@@ -1303,24 +1303,6 @@ def _delay_comp_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
     return ctrl._replace(farend_buf=farend_buf, delay_change=delay_change)
 
 
-def buffer_farend_fused(state: FusedState, farend, mult: int) -> FusedState:
-    """control.buffer_farend: delay comp + jitter ring write (batched)."""
-    ctrl = state.ctrl
-    comped = _delay_comp_ctrl(ctrl, mult)
-    enabled = ctrl.ec_startup == 0
-    ctrl = ctrl._replace(
-        farend_buf=ctrl.farend_buf._replace(
-            read_pos=jnp.where(enabled, comped.farend_buf.read_pos,
-                               ctrl.farend_buf.read_pos),
-            rw_wrap=jnp.where(enabled, comped.farend_buf.rw_wrap,
-                              ctrl.farend_buf.rw_wrap)),
-        delay_change=jnp.where(enabled, comped.delay_change,
-                               ctrl.delay_change))
-    fb = jax.vmap(rbuf.write)(ctrl.farend_buf,
-                              jnp.asarray(farend, I32))
-    return state._replace(ctrl=ctrl._replace(farend_buf=fb))
-
-
 def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
     """One ring pass per chunk: wrapped write then a wrapped gather of the
     post-write data.
