@@ -1189,9 +1189,17 @@ def _process_frame_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
         core = _where_tree(active, new_core, core)
         out_blocks.append(jnp.where(active, out_b, 0))
 
+    produced = jnp.concatenate(out_blocks, axis=0)
+    return _emit_frame_f(core, produced, two_blocks, run_mask)
+
+
+def _emit_frame_f(core, produced, two_blocks, run_mask):
+    """The 80-sample output assembly of core.process_frame (out_carry /
+    out_fill / first-frame zero-stuff / out_tail), lane-major.  `produced`
+    is (128, B): this frame's block outputs, second half zeroed when the
+    frame produced one block."""
     o = core.out_fill
     n_blocks = 1 + two_blocks.astype(I32)
-    produced = jnp.concatenate(out_blocks, axis=0)
     work_out = _place_at_fill_f(core.out_carry, produced, o)
 
     avail = o + n_blocks * D.PART_LEN
@@ -1214,6 +1222,82 @@ def _process_frame_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
     return core, out
 
 
+def _slot_activity_2f(fill, run_mask):
+    """3-slot block schedule for a two-frame (16 kHz) chunk.
+
+    A chunk is 160 samples = 2.5 blocks, so of the naive 2 frames x 2
+    block slots at most 3 are ever live: frame 0 has 2 blocks iff
+    fill >= 48 (two0), frame 1 iff the carried fill reaches 48 (two1;
+    two0 and two1 are mutually exclusive since fill steps 0->16->32->48).
+    Schedule: S0 = f0b0 (always), S1 = two0 ? f0b1 : f1b0 (always a real
+    block), S2 = two0 ? f1b0 : f1b1 (live iff two0 | two1) — in time
+    order, which the CNG seed chain relies on.
+    Returns (two0, fill1, two1, acts[3])."""
+    two0 = fill >= 48
+    fill1 = jnp.where(two0, fill - 48, fill + 16)
+    two1 = fill1 >= 48
+    acts = [run_mask, run_mask, run_mask & (two0 | two1)]
+    return two0, fill1, two1, acts
+
+
+def _frames_step_2f(core, t: Tables, far_frames, noisy_frames,
+                    cos_all, sin_all, run_mask, mult: int,
+                    abs_approx: bool):
+    """Two-frame (16 kHz) chunk with the 3-slot schedule: 25% less block
+    compute and state selection than 2x2 masked slots.  Bit-exact with
+    the frame-major path (the slots compute the same blocks in the same
+    order; inactive-slot state is masked off identically)."""
+    F, P = D.FRAME_LEN, D.PART_LEN
+    fill0 = core.frame_fill
+    two0, fill1, two1, acts = _slot_activity_2f(fill0, run_mask)
+
+    work_far0 = _place_at_fill_f(core.in_carry_far, far_frames[:F], fill0)
+    work_noi0 = _place_at_fill_f(core.in_carry_noisy, noisy_frames[:F],
+                                 fill0)
+    work_far1 = _place_at_fill_f(work_far0[P:2 * P], far_frames[F:], fill1)
+    work_noi1 = _place_at_fill_f(work_noi0[P:2 * P], noisy_frames[F:],
+                                 fill1)
+
+    def gated(new, old):
+        return jnp.where(run_mask, new, old)
+
+    core = core._replace(
+        in_carry_far=gated(work_far1[P:2 * P], core.in_carry_far),
+        in_carry_noisy=gated(work_noi1[P:2 * P], core.in_carry_noisy),
+        frame_fill=gated(jnp.where(two1, fill1 - 48, fill1 + 16),
+                         core.frame_fill))
+
+    slot_far = [
+        work_far0[:P],
+        jnp.where(two0, work_far0[P:2 * P], work_far1[:P]),
+        jnp.where(two0, work_far1[:P], work_far1[P:2 * P]),
+    ]
+    slot_noi = [
+        work_noi0[:P],
+        jnp.where(two0, work_noi0[P:2 * P], work_noi1[:P]),
+        jnp.where(two0, work_noi1[:P], work_noi1[P:2 * P]),
+    ]
+
+    outs = []
+    for s in range(3):
+        new_core, out_b = _process_block_f(
+            core, t, slot_far[s], slot_noi[s], None,
+            cos_all[s * P:(s + 1) * P], sin_all[s * P:(s + 1) * P],
+            mult, False, abs_approx)
+        core = _where_tree(acts[s], new_core, core)
+        outs.append(jnp.where(acts[s], out_b, 0))
+
+    zero = jnp.zeros_like(outs[0])
+    produced0 = jnp.concatenate(
+        [outs[0], jnp.where(two0, outs[1], zero)], axis=0)
+    core, out0 = _emit_frame_f(core, produced0, two0, run_mask)
+    produced1 = jnp.concatenate(
+        [jnp.where(two0, outs[2], outs[1]),
+         jnp.where(~two0 & two1, outs[2], zero)], axis=0)
+    core, out1 = _emit_frame_f(core, produced1, two1, run_mask)
+    return core, jnp.concatenate([out0, out1], axis=0)
+
+
 def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
                 cos_all, sin_all, run_mask, mult: int, n_frames: int,
                 has_clean: bool, abs_approx: bool = False):
@@ -1223,6 +1307,10 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
     (n_frames*2*64, B); run_mask: (1, B) bool.  Runs identically as plain
     jnp (CPU/testing) and inside the Pallas kernel (TPU).
     """
+    if n_frames == 2 and not has_clean:
+        return _frames_step_2f(core, t, far_frames, noisy_frames,
+                               cos_all, sin_all, run_mask, mult,
+                               abs_approx)
     outs = []
     for f in range(n_frames):
         fr = far_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
@@ -1460,17 +1548,23 @@ def _precompute_cng_phases(core_f, run_mask_b, n_frames: int):
     cng = core_f.cng_mode != 0
     run = run_mask_b                               # (1, B) bool
 
+    if n_frames == 2:                              # 3-slot schedule
+        _, _, _, slot_acts = _slot_activity_2f(fill, run)
+    else:                                          # frame-major slots
+        slot_acts = []
+        for _ in range(n_frames):
+            two = fill >= 48
+            slot_acts += [run, two & run]
+            fill = jnp.where(run, jnp.where(two, fill - 48, fill + 16),
+                             fill)
+
     idx_rows = []
-    for _ in range(n_frames):
-        two = fill >= 48
-        for k in range(2):
-            act = run if k == 0 else (two & run)
-            seeds_n = (a_col * seed + c_col) & U32(spl._LCG_MASK)  # (64, B)
-            rand_w16 = (seeds_n >> U32(16)).astype(I32)
-            idx_rows.append((359 * rand_w16) >> 15)
-            seed = jnp.where(act & cng, seeds_n[-1:], seed)
-        fill = jnp.where(run, jnp.where(two, fill - 48, fill + 16), fill)
-    idx_all = jnp.concatenate(idx_rows, axis=0)    # (n_frames*128, B)
+    for act in slot_acts:
+        seeds_n = (a_col * seed + c_col) & U32(spl._LCG_MASK)  # (64, B)
+        rand_w16 = (seeds_n >> U32(16)).astype(I32)
+        idx_rows.append((359 * rand_w16) >> 15)
+        seed = jnp.where(act & cng, seeds_n[-1:], seed)
+    idx_all = jnp.concatenate(idx_rows, axis=0)    # (n_slots*64, B)
     cos_all, sin_all = core_mod._phase_table_lookup(idx_all)
     return cos_all, sin_all, seed
 
