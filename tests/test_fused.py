@@ -122,3 +122,98 @@ def test_pipeline_fused_engine(tmp_path):
     p3.load(ck)
     np.testing.assert_array_equal(np.asarray(p3.run(far, near)),
                                   np.asarray(p1.run(far, near)))
+
+
+def test_fused_sharded_step_equals_unsharded():
+    """make_sharded_step_fused over the 8-virtual-CPU mesh == the plain
+    fused step — the multi-chip serving configuration, bit-exact."""
+    from webrtc_aecm_tpu.parallel import (
+        make_mesh, make_sharded_step_fused, shard_streams,
+        shard_streams_fused)
+    fs = 16000
+    n_devices = jax.device_count()
+    assert n_devices == 8
+    B = 2 * n_devices
+    n_chunks = 40
+    chunk = 160
+    far, near = _scene(fs, B, n_chunks, seed=5)
+
+    st = fused.create_fused(B, fs)
+    _, ref_out = jax.jit(lambda s, f, d: fused.run_streams_fused(
+        s, f, d, fs, 40))(st, jnp.asarray(far, jnp.int32),
+                          jnp.asarray(near, jnp.int32))
+
+    mesh = make_mesh()
+    sstate = shard_streams_fused(fused.create_fused(B, fs), mesh)
+    sfar = shard_streams(jnp.asarray(far, jnp.int32), mesh)
+    snear = shard_streams(jnp.asarray(near, jnp.int32), mesh)
+    ms = shard_streams(jnp.full((B,), 40, jnp.int32), mesh)
+    step = make_sharded_step_fused(fs, mesh)
+    out = np.zeros((B, n_chunks * chunk), np.int32)
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        sstate, o, _ = step(sstate, sfar[:, sl], snear[:, sl], ms)
+        out[:, sl] = np.asarray(o)
+    np.testing.assert_array_equal(out, np.asarray(ref_out))
+
+
+def test_fused_per_stream_config_and_abs_approx():
+    """Per-stream cng/echo-mode and the abs_approx option through the
+    fused path == the XLA path (config parity beyond the defaults)."""
+    from webrtc_aecm_tpu.parallel import batch as pbatch
+    fs, B, n_chunks = 8000, 8, 60
+    far, near = _scene(fs, B, n_chunks, seed=7)
+    cng = np.arange(B, dtype=np.int32) % 2
+    mode = np.arange(B, dtype=np.int32) % 5
+
+    st = pbatch.set_config_batch(pbatch.create_batch(B, fs), cng, mode)
+    _, ref_out = jax.jit(lambda s, f, d: pbatch.run_streams(
+        s, f, d, fs, 40))(st, jnp.asarray(far, jnp.int32),
+                          jnp.asarray(near, jnp.int32))
+
+    fstate = fused.to_fused_state(st)
+    _, out = jax.jit(lambda s, f, d: fused.run_streams_fused(
+        s, f, d, fs, 40, use_kernel=False))(
+        fstate, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+
+    # abs_approx (AECM_WITH_ABS_APPROX magnitude): fused pure path vs the
+    # XLA path built with the same Option
+    from webrtc_aecm_tpu import control
+    from webrtc_aecm_tpu import core as core_mod
+    opts = core_mod.Options(abs_approx=True)
+    one = jax.tree_util.tree_map(
+        lambda leaf: jnp.broadcast_to(leaf, (B,) + jnp.shape(leaf)),
+        control.create(fs))
+    step_ref = jax.vmap(lambda s, f, d, m: control.process(
+        s, d, None, 80, m, fs, opts))
+    buf_ref = jax.vmap(lambda s, f: control.buffer_farend(s, f, 1))
+
+    fstate = fused.to_fused_state(one)
+    step_f = fused.make_fused_chunk_step(fs, use_kernel=False,
+                                         abs_approx=True)
+
+    @jax.jit
+    def run_ref(st, f, d):
+        def body(s, xs):
+            ff, dd = xs
+            s = buf_ref(s, ff)
+            s, out, w = step_ref(s, ff, dd, jnp.full((B,), 40, jnp.int32))
+            return s, out
+        return jax.lax.scan(body, st, (f, d))
+
+    @jax.jit
+    def run_f(st, f, d):
+        def body(s, xs):
+            ff, dd = xs
+            s, out, w = step_f(s, ff, dd, 40)
+            return s, out
+        return jax.lax.scan(body, st, (f, d))
+
+    far_t = jnp.asarray(far, jnp.int32).reshape(B, n_chunks, 80
+                                                ).transpose(1, 0, 2)
+    near_t = jnp.asarray(near, jnp.int32).reshape(B, n_chunks, 80
+                                                  ).transpose(1, 0, 2)
+    _, ref_o = run_ref(one, far_t, near_t)
+    _, f_o = run_f(fstate, far_t, near_t)
+    np.testing.assert_array_equal(np.asarray(f_o), np.asarray(ref_o))
