@@ -133,7 +133,6 @@ class AecmInstance:
         if err != 0:
             raise AecmError(err)
         farend = np.asarray(farend)
-        self._validate_len(farend.shape[-1])
         key = ("buf", farend.shape[-1])
         if key not in self._jitted:
             mult = self.mult

@@ -201,6 +201,73 @@ def _est_buf_delay(state: AecmState, mult: int) -> AecmState:
                           known_delay=known_delay, last_delay_diff=diff)
 
 
+def _startup_machine(state, n_blocks_10ms: int, mult: int):
+    """The ECstartup governance (echo_control_mobile.cc:285-355): wait for
+    the reported sound-card buffer to stabilize, size the jitter buffer,
+    align the read pointer, and enable cancellation.
+
+    Operates only on the control fields (works on any state container with
+    them — `process`'s AecmState and the fused engine's CtrlState share
+    this single implementation).  Elementwise, so it runs per-stream
+    batched as-is."""
+    filled = (rbuf.available_read(state.farend_buf)
+              // D.FRAME_LEN).astype(I32)
+
+    def check_size(state):
+        ctr = state.check_buf_size_ctr + 1
+        first_val = jnp.where(state.counter == 0, state.ms_in_sndcard_buf,
+                              state.first_val)
+        acc = jnp.where(state.counter == 0, I32(0), state.sum)
+        thresh = jnp.maximum(
+            F32(0.2) * state.ms_in_sndcard_buf.astype(F32),
+            F32(D.SAMP_MS_NB))
+        stable = (jnp.abs(first_val - state.ms_in_sndcard_buf
+                          ).astype(F32) < thresh)
+        acc = jnp.where(stable, acc + state.ms_in_sndcard_buf, acc)
+        counter = jnp.where(stable, state.counter + 1, I32(0))
+
+        # enough stable frames -> size from the average
+        done_avg = counter * n_blocks_10ms >= 6
+        size_avg = jnp.minimum(
+            spl.div_trunc(3 * acc * mult, counter * 40),
+            I32(D.BUF_SIZE_FRAMES))
+        # hard timeout (~0.5 s) -> size from the instantaneous value
+        done_timeout = ctr * n_blocks_10ms > 50
+        size_timeout = jnp.minimum(
+            spl.div_trunc(3 * state.ms_in_sndcard_buf * mult, I32(40)),
+            I32(D.BUF_SIZE_FRAMES))
+
+        buf_size_start = jnp.where(
+            done_timeout, size_timeout,
+            jnp.where(done_avg, size_avg, state.buf_size_start))
+        check_buff_size = jnp.where(done_avg | done_timeout, I32(0),
+                                    I32(1))
+        return state._replace(
+            check_buf_size_ctr=ctr, first_val=first_val, sum=acc,
+            counter=counter, buf_size_start=buf_size_start,
+            check_buff_size=check_buff_size)
+
+    checked = check_size(state)
+    checking = state.check_buff_size != 0
+    state = state._replace(**{
+        f: jnp.where(checking, getattr(checked, f), getattr(state, f))
+        for f in ("check_buf_size_ctr", "first_val", "sum", "counter",
+                  "buf_size_start", "check_buff_size")})
+
+    # buffer sizing settled -> align and enable
+    settled = state.check_buff_size == 0
+    enable_eq = settled & (filled == state.buf_size_start)
+    enable_gt = settled & (filled > state.buf_size_start)
+    avail = rbuf.available_read(state.farend_buf)
+    farend_buf = rbuf.move_read_ptr(
+        state.farend_buf,
+        jnp.where(enable_gt,
+                  avail - state.buf_size_start * D.FRAME_LEN, I32(0)))
+    ec_startup = jnp.where(enable_eq | enable_gt, I32(0),
+                           state.ec_startup)
+    return state._replace(farend_buf=farend_buf, ec_startup=ec_startup)
+
+
 def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
             ms_in_sndcard_buf, sample_rate: int,
             opts: core_mod.Options = core_mod.DEFAULT_OPTIONS):
@@ -230,62 +297,7 @@ def process(state: AecmState, nearend_noisy, nearend_clean, out_len: int,
     # ---------------- startup branch ----------------
     def startup(state: AecmState):
         out = nearend_clean if has_clean else nearend_noisy
-        filled = (rbuf.available_read(state.farend_buf)
-                  // D.FRAME_LEN).astype(I32)
-
-        def check_size(state: AecmState) -> AecmState:
-            ctr = state.check_buf_size_ctr + 1
-            first_val = jnp.where(state.counter == 0, state.ms_in_sndcard_buf,
-                                  state.first_val)
-            acc = jnp.where(state.counter == 0, I32(0), state.sum)
-            thresh = jnp.maximum(
-                F32(0.2) * state.ms_in_sndcard_buf.astype(F32),
-                F32(D.SAMP_MS_NB))
-            stable = (jnp.abs(first_val - state.ms_in_sndcard_buf
-                              ).astype(F32) < thresh)
-            acc = jnp.where(stable, acc + state.ms_in_sndcard_buf, acc)
-            counter = jnp.where(stable, state.counter + 1, I32(0))
-
-            # enough stable frames -> size from the average
-            done_avg = counter * n_blocks_10ms >= 6
-            size_avg = jnp.minimum(
-                spl.div_trunc(3 * acc * mult, counter * 40),
-                I32(D.BUF_SIZE_FRAMES))
-            # hard timeout (~0.5 s) -> size from the instantaneous value
-            done_timeout = ctr * n_blocks_10ms > 50
-            size_timeout = jnp.minimum(
-                spl.div_trunc(3 * state.ms_in_sndcard_buf * mult, I32(40)),
-                I32(D.BUF_SIZE_FRAMES))
-
-            buf_size_start = jnp.where(
-                done_timeout, size_timeout,
-                jnp.where(done_avg, size_avg, state.buf_size_start))
-            check_buff_size = jnp.where(done_avg | done_timeout, I32(0),
-                                        I32(1))
-            return state._replace(
-                check_buf_size_ctr=ctr, first_val=first_val, sum=acc,
-                counter=counter, buf_size_start=buf_size_start,
-                check_buff_size=check_buff_size)
-
-        checked = check_size(state)
-        checking = state.check_buff_size != 0
-        state = state._replace(**{
-            f: jnp.where(checking, getattr(checked, f), getattr(state, f))
-            for f in ("check_buf_size_ctr", "first_val", "sum", "counter",
-                      "buf_size_start", "check_buff_size")})
-
-        # buffer sizing settled -> align and enable
-        settled = state.check_buff_size == 0
-        enable_eq = settled & (filled == state.buf_size_start)
-        enable_gt = settled & (filled > state.buf_size_start)
-        avail = rbuf.available_read(state.farend_buf)
-        farend_buf = rbuf.move_read_ptr(
-            state.farend_buf,
-            jnp.where(enable_gt,
-                      avail - state.buf_size_start * D.FRAME_LEN, I32(0)))
-        ec_startup = jnp.where(enable_eq | enable_gt, I32(0),
-                               state.ec_startup)
-        state = state._replace(farend_buf=farend_buf, ec_startup=ec_startup)
+        state = _startup_machine(state, n_blocks_10ms, mult)
         return state, jnp.asarray(out, I32)
 
     # ---------------- enabled branch ----------------

@@ -365,8 +365,9 @@ def _real_inverse_fft(re, im, t: Tables):
 
 # ---------------------------------------------------------------------------
 # Delay estimator, lane-major port (mirrors delay_estimator.py; the fused
-# path covers the configuration AECM uses: lookahead capacity 0, history
-# MAX_DELAY — asserted at trace time in fused_available())
+# path covers the configuration AECM uses — lookahead capacity 0; any
+# history size, taken from the array shapes.  make_fused_chunk_step's step
+# rejects a reconfigured lookahead capacity at trace time.)
 # ---------------------------------------------------------------------------
 
 def _binary_spectrum_fix_f(spectrum, mean_spectrum, q_domain, initialized):
@@ -1377,18 +1378,9 @@ def create_fused(n_streams: int, sample_rate: int = 8000, cng_mode: int = 1,
 
 
 def _delay_comp_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
-    """control._delay_comp on batch-leading scalars."""
-    n_samp_far = rbuf.available_read(ctrl.farend_buf)
-    n_samp_sndcard = ctrl.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
-    delay_new = n_samp_sndcard - n_samp_far
-    stuff = delay_new > (D.FAR_BUF_LEN - D.FRAME_LEN * mult)
-    n_samp_add = jnp.maximum((n_samp_sndcard >> 1) - n_samp_far,
-                             I32(D.FRAME_LEN))
-    n_samp_add = jnp.minimum(n_samp_add, I32(10 * D.FRAME_LEN))
-    farend_buf = rbuf.move_read_ptr(
-        ctrl.farend_buf, jnp.where(stuff, -n_samp_add, I32(0)))
-    delay_change = jnp.where(stuff, I32(1), ctrl.delay_change)
-    return ctrl._replace(farend_buf=farend_buf, delay_change=delay_change)
+    """control._delay_comp on the batched CtrlState (shared field-level
+    implementation — elementwise, so it batches as-is)."""
+    return control._delay_comp(ctrl, mult)
 
 
 def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
@@ -1432,99 +1424,24 @@ def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
         gathered = ring_gather_tpu(new_data, rpos, n_read)
         return new_data, gathered.astype(I32)
 
-    padded = jnp.concatenate(
-        [vals16, jnp.zeros((b, cap - cnt), data.dtype)], axis=-1)
-    rolled = jax.vmap(lambda v, p: jnp.roll(v, p, axis=-1))(padded, wpos)
-    offset = (jnp.arange(cap, dtype=I32)[None, :] - wpos[:, None]) % cap
-    new_data = jnp.where(offset < n_write[:, None], rolled, data)
-    doubled = jnp.concatenate([new_data, new_data[:, :n_read]], axis=-1)
+    # Fallback: the ring_buffer module's own batched write/read data ops
+    # (custom_vmap rules — lax on CPU), so wrap semantics live in ONE place.
+    new_data = jax.vmap(rbuf._contig_write)(data, wpos, vals16, n_write)
     gathered = jax.vmap(
-        lambda d, p: jax.lax.dynamic_slice_in_dim(d, p, n_read, axis=-1)
-    )(doubled, rpos)
+        lambda d, p: rbuf._contig_read(d, p, n_read))(new_data, rpos)
     return new_data, gathered.astype(I32)
 
 
 def _startup_ctrl(ctrl: CtrlState, n_blocks_10ms: int, mult: int):
-    """control.process's startup branch on batch-leading scalars."""
-    filled = (rbuf.available_read(ctrl.farend_buf)
-              // D.FRAME_LEN).astype(I32)
-
-    ctr = ctrl.check_buf_size_ctr + 1
-    first_val = jnp.where(ctrl.counter == 0, ctrl.ms_in_sndcard_buf,
-                          ctrl.first_val)
-    acc = jnp.where(ctrl.counter == 0, I32(0), ctrl.sum)
-    thresh = jnp.maximum(F32(0.2) * ctrl.ms_in_sndcard_buf.astype(F32),
-                         F32(D.SAMP_MS_NB))
-    stable = (jnp.abs(first_val - ctrl.ms_in_sndcard_buf).astype(F32)
-              < thresh)
-    acc = jnp.where(stable, acc + ctrl.ms_in_sndcard_buf, acc)
-    counter = jnp.where(stable, ctrl.counter + 1, I32(0))
-
-    done_avg = counter * n_blocks_10ms >= 6
-    size_avg = jnp.minimum(
-        spl.div_trunc(3 * acc * mult, counter * 40), I32(D.BUF_SIZE_FRAMES))
-    done_timeout = ctr * n_blocks_10ms > 50
-    size_timeout = jnp.minimum(
-        spl.div_trunc(3 * ctrl.ms_in_sndcard_buf * mult, I32(40)),
-        I32(D.BUF_SIZE_FRAMES))
-
-    buf_size_start = jnp.where(
-        done_timeout, size_timeout,
-        jnp.where(done_avg, size_avg, ctrl.buf_size_start))
-    check_buff_size = jnp.where(done_avg | done_timeout, I32(0), I32(1))
-
-    checking = ctrl.check_buff_size != 0
-    ctrl = ctrl._replace(
-        check_buf_size_ctr=jnp.where(checking, ctr, ctrl.check_buf_size_ctr),
-        first_val=jnp.where(checking, first_val, ctrl.first_val),
-        sum=jnp.where(checking, acc, ctrl.sum),
-        counter=jnp.where(checking, counter, ctrl.counter),
-        buf_size_start=jnp.where(checking, buf_size_start,
-                                 ctrl.buf_size_start),
-        check_buff_size=jnp.where(checking, check_buff_size,
-                                  ctrl.check_buff_size))
-
-    settled = ctrl.check_buff_size == 0
-    enable_eq = settled & (filled == ctrl.buf_size_start)
-    enable_gt = settled & (filled > ctrl.buf_size_start)
-    avail = rbuf.available_read(ctrl.farend_buf)
-    farend_buf = rbuf.move_read_ptr(
-        ctrl.farend_buf,
-        jnp.where(enable_gt, avail - ctrl.buf_size_start * D.FRAME_LEN,
-                  I32(0)))
-    ec_startup = jnp.where(enable_eq | enable_gt, I32(0), ctrl.ec_startup)
-    return ctrl._replace(farend_buf=farend_buf, ec_startup=ec_startup)
+    """control._startup_machine on the batched CtrlState (shared
+    implementation)."""
+    return control._startup_machine(ctrl, n_blocks_10ms, mult)
 
 
 def _est_buf_delay_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
-    """control._est_buf_delay on batch-leading scalars."""
-    n_samp_far = rbuf.available_read(ctrl.farend_buf)
-    n_samp_sndcard = ctrl.ms_in_sndcard_buf * D.SAMP_MS_NB * mult
-    delay_new = n_samp_sndcard - n_samp_far
-
-    shortfall = delay_new < D.FRAME_LEN
-    farend_buf = rbuf.move_read_ptr(
-        ctrl.farend_buf, jnp.where(shortfall, I32(D.FRAME_LEN), I32(0)))
-    delay_new = jnp.where(shortfall, delay_new + D.FRAME_LEN, delay_new)
-
-    filt_delay = jnp.maximum(
-        I32(0), spl.div_trunc(8 * ctrl.filt_delay + 2 * delay_new, I32(10)))
-
-    diff = filt_delay - ctrl.known_delay
-    inc_hi = jnp.where(ctrl.last_delay_diff < 96, I32(0),
-                       ctrl.time_for_delay_change + 1)
-    inc_lo = jnp.where(ctrl.last_delay_diff > 224, I32(0),
-                       ctrl.time_for_delay_change + 1)
-    time_for_delay_change = jnp.where(
-        diff > 224, inc_hi,
-        jnp.where((diff < 96) & (ctrl.known_delay > 0), inc_lo, I32(0)))
-
-    known_delay = jnp.where(time_for_delay_change > 25,
-                            jnp.maximum(filt_delay - 160, I32(0)),
-                            ctrl.known_delay)
-    return ctrl._replace(farend_buf=farend_buf, filt_delay=filt_delay,
-                         time_for_delay_change=time_for_delay_change,
-                         known_delay=known_delay, last_delay_diff=diff)
+    """control._est_buf_delay on the batched CtrlState (shared
+    implementation)."""
+    return control._est_buf_delay(ctrl, mult)
 
 
 def _precompute_cng_phases(core_f, run_mask_b, n_frames: int):
@@ -1681,6 +1598,13 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
             kernel_on = jax.default_backend() == "tpu"
         if kernel_on and _pick_tile(state.ctrl.ec_startup.shape[0]) == 0:
             kernel_on = False          # batch not tileable: pure path
+        la_capacity = state.core.de_near.binary_history.shape[0]
+        if la_capacity != 1:
+            raise NotImplementedError(
+                "the fused path covers the AECM delay-estimator "
+                "configuration (lookahead capacity 0); this state was "
+                f"built with max_lookahead={la_capacity - 1} — use the XLA "
+                "path (parallel.batch / AecmPipeline(engine='xla'))")
         t = make_tables()
 
         ctrl, core_f = state.ctrl, state.core

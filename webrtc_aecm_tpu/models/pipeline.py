@@ -111,25 +111,40 @@ class AecmPipeline:
         fixed-shape state pytree IS the checkpoint — delay histories, NLMS
         channel, noise floor, jitter ring, startup machine, everything.
         """
-        leaves, treedef = jax.tree_util.tree_flatten(self._canonical())
+        flat, _ = jax.tree_util.tree_flatten_with_path(self._canonical())
         np.savez_compressed(
             path,
-            __meta__=np.array([self.n_streams, self.sample_rate]),
-            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+            __meta__=np.array([2, self.n_streams, self.sample_rate]),
+            **{"s" + jax.tree_util.keystr(kp): np.asarray(x)
+               for kp, x in flat})
 
     def load(self, path: str) -> None:
         """Resume from a checkpoint written by save(); shapes must match
         this pipeline's (n_streams, sample_rate)."""
         data = np.load(path)
-        n, rate = data["__meta__"]
-        if (int(n), int(rate)) != (self.n_streams, self.sample_rate):
+        meta = data["__meta__"]
+        if len(meta) != 3 or int(meta[0]) != 2:
             raise ValueError(
-                f"checkpoint is for {int(n)} streams @ {int(rate)} Hz, "
+                "unrecognized checkpoint format (expected version-2 named "
+                "leaves; positional version-1 checkpoints predate the "
+                "current state layout and cannot be resumed)")
+        _, n, rate = (int(v) for v in meta)
+        if (n, rate) != (self.n_streams, self.sample_rate):
+            raise ValueError(
+                f"checkpoint is for {n} streams @ {rate} Hz, "
                 f"pipeline is {self.n_streams} @ {self.sample_rate}")
         canonical = self._canonical()
-        leaves, treedef = jax.tree_util.tree_flatten(canonical)
-        new_leaves = [jnp.asarray(data[f"leaf_{i}"]).astype(x.dtype)
-                      for i, x in enumerate(leaves)]
+        flat, treedef = jax.tree_util.tree_flatten_with_path(canonical)
+        missing = ["s" + jax.tree_util.keystr(kp) for kp, _ in flat
+                   if "s" + jax.tree_util.keystr(kp) not in data]
+        if missing:
+            raise ValueError(
+                "checkpoint is missing state leaves (older state "
+                f"layout?): {missing[:5]}")
+        new_leaves = [
+            jnp.asarray(data["s" + jax.tree_util.keystr(kp)]).astype(
+                x.dtype)
+            for kp, x in flat]
         self._set_canonical(
             jax.tree_util.tree_unflatten(treedef, new_leaves))
 
