@@ -36,10 +36,14 @@ def _our_run(fs):
     return _jitted[fs]
 
 
-def _run_config(fs, cng, echo_mode=3, seed=0):
+def _run_config(fs, cng, echo_mode=3, seed=0, clean=False):
     rng = np.random.default_rng(seed)
     n_samples = N_MS[fs] * fs // 1000
     far, near = _make_echo_scene(rng, n_samples, 60 * fs // 1000, fs)
+    clean_sig = None
+    if clean:
+        clean_sig = (0.9 * near + rng.normal(0, 80, near.shape)
+                     ).clip(-32000, 32000).astype(np.int16)
 
     # C oracle, chunk by chunk.
     ref = RefAecm(get_oracle(), fs, cng_mode=cng, echo_mode=echo_mode)
@@ -48,14 +52,24 @@ def _run_config(fs, cng, echo_mode=3, seed=0):
     for i in range(n_samples // samples):
         sl = slice(i * samples, (i + 1) * samples)
         assert ref.buffer_farend(far[sl]) == 0
-        r, ret = ref.process(near[sl], None, 40)
+        r, ret = ref.process(near[sl],
+                             None if clean_sig is None else clean_sig[sl],
+                             40)
         assert ret == 0
         ref_out[sl] = r
 
     # Ours: one jitted scan over the whole call.
     state = pbatch.create_batch(1, fs, cng_mode=cng, echo_mode=echo_mode)
-    state, out = _our_run(fs)(state, jnp.asarray(far[None], jnp.int32),
-                              jnp.asarray(near[None], jnp.int32))
+    if clean:
+        state, out = jax.jit(
+            lambda s, f, d, c: pbatch.run_streams(s, f, d, fs, 40,
+                                                  clean=c))(
+            state, jnp.asarray(far[None], jnp.int32),
+            jnp.asarray(near[None], jnp.int32),
+            jnp.asarray(clean_sig[None], jnp.int32))
+    else:
+        state, out = _our_run(fs)(state, jnp.asarray(far[None], jnp.int32),
+                                  jnp.asarray(near[None], jnp.int32))
     our_out = np.asarray(out[0]).astype(np.int16)
 
     if not np.array_equal(our_out, ref_out):
@@ -73,11 +87,21 @@ def _run_config(fs, cng, echo_mode=3, seed=0):
     np.testing.assert_array_equal(our_path, ref.get_echo_path())
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("cng", [1, 0])
 def test_convergence_8k(cng):
     _run_config(8000, cng, seed=10 + cng)
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("cng", [1, 0])
 def test_convergence_16k(cng):
     _run_config(16000, cng, seed=20 + cng)
+
+
+@pytest.mark.soak
+def test_convergence_16k_dual_input():
+    """Convergence-length dual-input run: the clean-domain Q bookkeeping
+    (dfa_clean_q feeding the Wiener near_filt and the upper-band clamp)
+    stays oracle-bit-exact past both CONV_LEN transitions."""
+    _run_config(16000, cng=1, seed=31, clean=True)

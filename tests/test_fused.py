@@ -16,7 +16,7 @@ from webrtc_aecm_tpu import fused
 from webrtc_aecm_tpu.parallel import batch as pbatch
 
 
-def _scene(fs, B, n_chunks, seed=0):
+def _scene(fs, B, n_chunks, seed=0, with_clean=False):
     chunk = min(160, fs // 100)
     n = n_chunks * chunk
     rng = np.random.default_rng(seed)
@@ -27,7 +27,23 @@ def _scene(fs, B, n_chunks, seed=0):
                     for b in range(B)]).astype(np.int16)
     near = (0.4 * far + rng.normal(0, 150, far.shape)
             ).clip(-32000, 32000).astype(np.int16)
+    if with_clean:
+        clean = (0.35 * far + rng.normal(0, 120, far.shape)
+                 ).clip(-32000, 32000).astype(np.int16)
+        return far, near, clean
     return far, near
+
+
+def _desync_ms(n_chunks, B, burst_at):
+    """Per-(chunk, stream) sndcard delays: exercises EstBufDelay/DelayComp
+    under run_mask AND desynchronizes startup lengths across streams so
+    startup->enabled transitions land mid-superchunk and jitter-ring
+    writes clamp (partial n_write) on some streams only."""
+    ms = np.full((n_chunks, B), 40, np.int32)
+    ms += 15 * (np.arange(B, dtype=np.int32) % 5)[None, :]
+    ms[burst_at:burst_at + 6] += 80
+    ms[:min(20, n_chunks)] += 23 * (np.arange(B, dtype=np.int32) % 7)[None, :]
+    return ms
 
 
 def _assert_tree_equal(a, b, path=""):
@@ -39,32 +55,73 @@ def _assert_tree_equal(a, b, path=""):
             err_msg=f"state leaf {jax.tree_util.keystr(kp)}")
 
 
-@pytest.mark.parametrize("fs", [8000, 16000])
-def test_fused_pure_matches_xla_path(fs):
-    """Outputs and full state across startup + enabled, varying delays."""
-    B, n_chunks = 8, 120
-    chunk = min(160, fs // 100)
-    far, near = _scene(fs, B, n_chunks)
-    # per-(chunk, stream) sndcard delays: exercises EstBufDelay/DelayComp
-    # under run_mask AND desynchronizes startup lengths across streams so
-    # jitter-ring writes clamp (partial n_write) on some streams only
-    ms = np.full((n_chunks, B), 40, np.int32)
-    ms += 15 * (np.arange(B, dtype=np.int32) % 5)[None, :]
-    ms[60:70] += 80
-    ms[:20] += 23 * (np.arange(B, dtype=np.int32) % 7)[None, :]
+def _check_fused_vs_xla(fs, n_chunks, burst_at, with_clean=False,
+                        chunks_per_step=None, seed=0):
+    """Fused pure path (run_streams_fused, incl. the superchunk slot
+    schedule and its non-dividing tail) == batched XLA path: outputs and
+    full state across startup + enabled, varying delays."""
+    B = 8
+    scene = _scene(fs, B, n_chunks, seed=seed, with_clean=with_clean)
+    far, near = scene[0], scene[1]
+    clean = scene[2] if with_clean else None
+    ms = _desync_ms(n_chunks, B, burst_at)
 
     st = pbatch.create_batch(B, fs)
     ref_state, ref_out = jax.jit(
-        lambda s, f, d: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms)))(
-        st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+        lambda s, f, d, c: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms),
+                                              clean=c))(
+        st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32),
+        None if clean is None else jnp.asarray(clean, jnp.int32))
 
     fstate = fused.create_fused(B, fs)
-    fin, out = jax.jit(lambda s, f, d: fused.run_streams_fused(
-        s, f, d, fs, jnp.asarray(ms), use_kernel=False))(
-        fstate, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+    fin, out = jax.jit(lambda s, f, d, c: fused.run_streams_fused(
+        s, f, d, fs, jnp.asarray(ms), use_kernel=False, clean=c,
+        chunks_per_step=chunks_per_step))(
+        fstate, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32),
+        None if clean is None else jnp.asarray(clean, jnp.int32))
 
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
     _assert_tree_equal(fused.from_fused_state(fin), ref_state)
+
+
+@pytest.mark.parametrize("fs", [8000, 16000])
+def test_fused_pure_matches_xla_path(fs):
+    """Fast-tier equivalence: 37 chunks hit the startup transitions, a
+    delay burst, and the superchunk remainder path (37 % 4 == 1)."""
+    _check_fused_vs_xla(fs, n_chunks=37, burst_at=24)
+
+
+@pytest.mark.soak
+@pytest.mark.parametrize("fs", [8000, 16000])
+def test_fused_pure_matches_xla_path_soak(fs):
+    """Long-scan equivalence (the round-2 scenario: 120 chunks, late
+    delay burst)."""
+    _check_fused_vs_xla(fs, n_chunks=120, burst_at=60)
+
+
+@pytest.mark.parametrize("fs", [8000, 16000])
+def test_fused_dual_input_matches_xla_path(fs):
+    """Dual-input (nearend_clean) serving through the fused engine ==
+    the XLA path — outputs and full state, startup + enabled (the
+    round-2 verdict's last fused-engine gap)."""
+    _check_fused_vs_xla(fs, n_chunks=37, burst_at=24, with_clean=True,
+                        seed=3)
+
+
+@pytest.mark.soak
+@pytest.mark.parametrize("fs", [8000, 16000])
+def test_fused_dual_input_matches_xla_path_soak(fs):
+    _check_fused_vs_xla(fs, n_chunks=120, burst_at=60, with_clean=True,
+                        seed=3)
+
+
+def test_fused_chunks_per_step_variants_identical():
+    """chunks_per_step is a pure scheduling knob: 1 == 2 == 4 (and the
+    XLA path) at 8 kHz, where the 4-chunk span is exactly 5 blocks."""
+    _check_fused_vs_xla(8000, n_chunks=30, burst_at=18, chunks_per_step=1,
+                        seed=5)
+    _check_fused_vs_xla(8000, n_chunks=30, burst_at=18, chunks_per_step=2,
+                        seed=5)
 
 
 def test_fused_roundtrip_layout():
@@ -91,6 +148,25 @@ def test_fused_fft_matches_ops_fft():
     out_f, sc_f = fused._real_inverse_fft(re.T, im.T, t)
     np.testing.assert_array_equal(np.asarray(out_f.T), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(sc_f[0]), np.asarray(sc_ref))
+
+
+def test_pipeline_fused_engine_dual_input():
+    """AecmPipeline(engine='fused') serves dual-input (clean) calls in
+    the fused engine itself — run and step paths == engine='xla'."""
+    from webrtc_aecm_tpu.models import AecmPipeline
+    fs, B, n_chunks = 16000, 4, 25
+    chunk = 160
+    far, near, clean = _scene(fs, B, n_chunks, seed=9, with_clean=True)
+
+    p1 = AecmPipeline(B, fs, engine="xla")
+    p2 = AecmPipeline(B, fs, engine="fused")
+    np.testing.assert_array_equal(
+        np.asarray(p1.run(far, near, clean=clean)),
+        np.asarray(p2.run(far, near, clean=clean)))
+    o1, _ = p1.step(far[:, :chunk], near[:, :chunk], clean[:, :chunk])
+    o2, _ = p2.step(far[:, :chunk], near[:, :chunk], clean[:, :chunk])
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(p1.get_echo_paths(), p2.get_echo_paths())
 
 
 def test_pipeline_fused_engine(tmp_path):

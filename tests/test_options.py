@@ -21,14 +21,17 @@ def _make_scene(seed, n_samples, delay, fs):
     return far.astype(np.int16), near.astype(np.int16)
 
 
-def test_abs_approx_matches_reference():
-    """AECM_WITH_ABS_APPROX build vs Options(abs_approx=True): bit-exact."""
-    fs = 8000
+@pytest.mark.parametrize("fs", [8000, 16000])
+def test_abs_approx_matches_reference(fs):
+    """AECM_WITH_ABS_APPROX build vs Options(abs_approx=True): bit-exact
+    (16 kHz exercises the approximate magnitudes through the upper-band
+    clamp path, aecm_core_c.cc:316-341 + 618-648)."""
+    chunk = min(160, fs // 100)
     far, near = _make_scene(0, 1500 * fs // 1000, 320, fs)
     ref = RefAecm(get_oracle_abs_approx(), fs)
     ours = AecmInstance(fs, abs_approx=True)
-    for i in range(len(near) // 80):
-        sl = slice(i * 80, (i + 1) * 80)
+    for i in range(len(near) // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
         assert ref.buffer_farend(far[sl]) == 0
         ours.buffer_farend(far[sl])
         r, ret = ref.process(near[sl], None, 40)

@@ -83,6 +83,20 @@ def test_e2e_8k_with_clean_input():
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_e2e_16k_with_clean_input():
+    """16 kHz + clean is a distinct Q-domain configuration: the upper-band
+    clamp reads dfa_clean_q-domain quantities (aecm_core_c.cc:618-648),
+    so the clean-domain bookkeeping feeds the mult==2-only path here."""
+    ref, ours = _run_pair(16000, n_ms=1500, delay_ms=30, clean=True, seed=7)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_e2e_16k_cng_off_with_clean():
+    ref, ours = _run_pair(16000, n_ms=1000, delay_ms=50, clean=True, cng=0,
+                          seed=8)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_e2e_variable_sndcard_delay():
     """Delay-governance stress: msInSndCardBuf drifts over the call."""
     fs = 8000

@@ -51,13 +51,13 @@ def main():
 
     from webrtc_aecm_tpu import fused
 
-    rate = 16000
+    rate = int(os.environ.get("AECM_BENCH_RATE", "16000"))
     audio_s = float(os.environ.get("AECM_BENCH_AUDIO_S", "1.0"))
     n_samples = int(audio_s * 100) * (rate // 100)
     sizes = [int(x) for x in os.environ.get(
         "AECM_SWEEP", "256 512 1024 2048 4096").split()]
 
-    print(f"backend={jax.default_backend()} audio={audio_s}s "
+    print(f"backend={jax.default_backend()} rate={rate} audio={audio_s}s "
           f"(distinct per-stream scenes)", flush=True)
     print(f"{'B':>6} {'wall s/audio-s':>14} {'streams@1xRT':>13} "
           f"{'us/stream-chunk':>16}", flush=True)
@@ -85,7 +85,7 @@ def main():
               f"{us_chunk:>16.3f}", flush=True)
 
     best = max(results, key=lambda r: r[2])
-    print(f"best: B={best[0]} -> {best[2]:.0f} streams/chip at 1x RT",
+    print(f"best: B={best[0]} -> {best[2]:.0f} {rate/1000:.0f} kHz streams/chip at 1x RT",
           flush=True)
 
 

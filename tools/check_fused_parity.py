@@ -3,16 +3,18 @@
 Runs the fused chunk step with the core path as ONE Pallas kernel
 (fused.py kernel path) against the reference XLA batched path on the same
 TPU, and asserts sample-exact outputs and bit-identical full state at both
-sample rates.  The CPU counterpart (pure lane-major path) is
-tests/test_fused.py; run this on the TPU machine after ANY change to
-fused.py:
+sample rates — single-input and dual-input (clean), superchunk schedules
+(incl. the non-dividing tail) and the per-chunk real-time step.  The CPU
+counterpart (pure lane-major path) is tests/test_fused.py; run this on
+the TPU machine after ANY change to fused.py:
 
     python tools/check_fused_parity.py
 
-Mosaic lowering traps found by this script so far: unsigned reductions
-(sum in int32 instead), `rev` and i1-select_n unsupported (permutation
-matmuls / logical blends), scoped-VMEM default too small for the resident
-state (CompilerParams.vmem_limit_bytes).
+On success (and on failure) it records the result matrix + commit hash in
+PARITY.json at the repo root — committed each round as the parity-gate
+artifact (the Mosaic lowering traps this script exists for only reproduce
+on real hardware: unsigned reductions, `rev`/i1-select_n, dynamic-rotate
+miscompiles, scoped-VMEM limits).
 """
 import os
 import sys
@@ -21,15 +23,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from parity_artifact import record  # noqa: E402  (tools/parity_artifact.py)
 
 
-def check(fs: int) -> None:
-    import jax
-    import jax.numpy as jnp
-    from webrtc_aecm_tpu import fused
-    from webrtc_aecm_tpu.parallel import batch as pbatch
-
-    B, n_chunks = 256, 150
+def _scene(fs, B, n_chunks, with_clean):
     chunk = min(160, fs // 100)
     n = n_chunks * chunk
     rng = np.random.default_rng(0)
@@ -40,24 +39,45 @@ def check(fs: int) -> None:
                     for b in range(B)]).astype(np.int16)
     near = (0.4 * far + rng.normal(0, 150, far.shape)
             ).clip(-32000, 32000).astype(np.int16)
+    clean = None
+    if with_clean:
+        clean = (0.35 * far + rng.normal(0, 120, far.shape)
+                 ).clip(-32000, 32000).astype(np.int16)
     # per-(chunk, stream) sndcard delays: the mid-run burst exercises
     # DelayComp stuffing; per-stream offsets desynchronize startup lengths
     # so some streams' rings clamp partial writes while others don't —
-    # driving _ring_write_gather's non-uniform (Pallas write) branch.
+    # driving _ring_write_gather's non-uniform (Pallas write) branch and
+    # mid-superchunk startup transitions.
     ms = np.full((n_chunks, B), 40, np.int32)
     ms += 15 * (np.arange(B, dtype=np.int32) % 5)[None, :]
     ms[60:70] += 80
     ms[:20] += 23 * (np.arange(B, dtype=np.int32) % 7)[None, :]
+    return far, near, clean, ms
+
+
+def check(fs: int, with_clean: bool, chunks_per_step=None,
+          n_chunks: int = 150) -> str:
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import fused
+    from webrtc_aecm_tpu.parallel import batch as pbatch
+
+    B = 256
+    far, near, clean, ms = _scene(fs, B, n_chunks, with_clean)
+    cj = None if clean is None else jnp.asarray(clean, jnp.int32)
 
     st = pbatch.create_batch(B, fs)
     ref_state, ref_out = jax.jit(
-        lambda s, f, d: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms)))(
-        st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+        lambda s, f, d, c: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms),
+                                              clean=c))(
+        st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32), cj)
 
     fstate = fused.create_fused(B, fs)
-    fin, out = jax.jit(lambda s, f, d: fused.run_streams_fused(
-        s, f, d, fs, jnp.asarray(ms), use_kernel=True))(
-        fstate, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+    fin, out = jax.jit(lambda s, f, d, c: fused.run_streams_fused(
+        s, f, d, fs, jnp.asarray(ms), use_kernel=True, clean=c,
+        chunks_per_step=chunks_per_step))(
+        fstate, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32),
+        cj)
 
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
     back = fused.from_fused_state(fin)
@@ -66,8 +86,12 @@ def check(fs: int) -> None:
         np.testing.assert_array_equal(
             np.asarray(xa), np.asarray(xb),
             err_msg=f"state leaf {jax.tree_util.keystr(kp)}")
-    print(f"fused kernel == XLA path @ {fs} Hz: outputs + full state "
-          f"bit-exact ({B} streams x {n_chunks} chunks)")
+    desc = (f"{fs} Hz {'dual-input' if with_clean else 'single-input'} "
+            f"cps={chunks_per_step or 'default'} "
+            f"({B} streams x {n_chunks} chunks)")
+    print(f"fused kernel == XLA path @ {desc}: outputs + full state "
+          f"bit-exact")
+    return desc
 
 
 def main():
@@ -76,8 +100,23 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for fs in (8000, 16000):
-        check(fs)
+    configs = [
+        dict(fs=8000, with_clean=False),              # superchunk 4 + tail
+        dict(fs=16000, with_clean=False),             # superchunk 2
+        dict(fs=8000, with_clean=True),
+        dict(fs=16000, with_clean=True),
+        dict(fs=16000, with_clean=False, chunks_per_step=1,
+             n_chunks=60),                            # real-time step path
+    ]
+    done = []
+    try:
+        for cfg in configs:
+            done.append(check(**cfg))
+    except Exception as e:
+        record("fused_kernel_vs_xla", ok=False, configs=done,
+               error=f"{type(e).__name__}: {e}"[:500])
+        raise
+    record("fused_kernel_vs_xla", ok=True, configs=done)
 
 
 if __name__ == "__main__":

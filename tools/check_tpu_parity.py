@@ -22,6 +22,9 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from parity_artifact import record  # noqa: E402  (tools/parity_artifact.py)
 
 CPU_LEG = r"""
 import sys, numpy as np
@@ -64,9 +67,17 @@ def main():
     cpu = np.load(op)
 
     st = pbatch.create_batch(B, fs)
-    _, out = jax.jit(lambda s, f, dd: pbatch.run_streams(s, f, dd, fs, 40))(
-        st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
-    np.testing.assert_array_equal(np.asarray(out), cpu)
+    desc = f"{fs} Hz xla-batched path ({B} streams x {n} samples)"
+    try:
+        _, out = jax.jit(
+            lambda s, f, dd: pbatch.run_streams(s, f, dd, fs, 40))(
+            st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(out), cpu)
+    except Exception as e:
+        record("tpu_vs_cpu_full_pipeline", ok=False, configs=[desc],
+               error=f"{type(e).__name__}: {e}"[:500])
+        raise
+    record("tpu_vs_cpu_full_pipeline", ok=True, configs=[desc])
     print("TPU == CPU: bit-exact over", B, "streams x", n, "samples")
 
 

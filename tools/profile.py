@@ -333,26 +333,28 @@ def _fused_one(mode: str):
             lambda core, fs, fq, ne: (core, core.channel_stored * fs))
     elif mode == "noop":
         def frames_noop(core, t, far, noisy, clean, cos_all, sin_all, run,
-                        mult, n_frames, has_clean, abs_approx=False):
+                        mult, n_frames, has_clean, abs_approx=False,
+                        frames_per_chunk=1):
             return (core._replace(tot_count=core.tot_count + 1),
                     far[:n_frames * 80])
         fused.frames_step = frames_noop
 
     n_frames, n_chunks, mult = 2, 100, 2
+    n_slots = fused._n_slots_for(n_frames)
     core_f = fused.create_fused(B, 16000).core
     t = fused.make_tables()
     rng = np.random.default_rng(0)
     mk = lambda r: jnp.asarray(
         rng.integers(-20000, 20000, (r, B)), jnp.int32)
     far_lm, noisy_lm = mk(n_frames * 80), mk(n_frames * 80)
-    cos_all, sin_all = mk(n_frames * 128), mk(n_frames * 128)
-    run_lm = jnp.ones((1, B), bool)
+    cos_all, sin_all = mk(n_slots * 64), mk(n_slots * 64)
+    run_rows = jnp.ones((n_frames, B), bool)
 
     def scan_kernel(c0):
         def body(c, _):
             c, out = fused._frames_kernel_call(
-                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_lm,
-                mult, n_frames, False, False)
+                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_rows,
+                mult, n_frames, False, False, 2)
             return c, out[:1]
         return jax.lax.scan(body, c0, None, length=n_chunks)
 
@@ -367,9 +369,85 @@ def _fused_one(mode: str):
           f"-> {B * 0.01 / per_chunk:7.0f} streams@RT", flush=True)
 
 
+V5E_HBM_GBPS = 819.0    # v5e peak HBM bandwidth (public spec: 819 GB/s)
+
+
+def cmd_roofline():
+    """HBM roofline for the fused chunk kernel: bytes the kernel must move
+    per chunk (state in + state out + audio IO + broadcast tables) divided
+    by its measured wall time, as a fraction of v5e peak HBM bandwidth.
+    This quantifies how close 'near the bandwidth bound' actually is and
+    bounds the remaining headroom of any pure-bandwidth optimization.
+
+    Env: B (default 1024), RATE (16000|8000), CPS (chunks per step)."""
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import fused
+
+    rate = int(os.environ.get("RATE", "16000"))
+    cps = int(os.environ.get("CPS", "1"))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
+    chunk = min(160, rate // 100)
+    fpc = chunk // 80
+    n_frames = fpc * cps
+    n_slots = fused._n_slots_for(n_frames)
+    mult = rate // 8000
+    core_f = fused.create_fused(B, rate).core
+    t = fused.make_tables()
+    rng = np.random.default_rng(0)
+    mk = lambda r: jnp.asarray(
+        rng.integers(-20000, 20000, (r, B)), jnp.int32)
+    far_lm, noisy_lm = mk(n_frames * 80), mk(n_frames * 80)
+    cos_all, sin_all = mk(n_slots * 64), mk(n_slots * 64)
+    run_rows = jnp.ones((n_frames, B), bool)
+    n_chunks = 100
+
+    def scan_kernel(c0):
+        def body(c, _):
+            c, out = fused._frames_kernel_call(
+                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_rows,
+                mult, n_frames, False, False, fpc)
+            return c, out[:1]
+        return jax.lax.scan(body, c0, None, length=n_chunks)
+
+    f = jax.jit(scan_kernel)
+    r = jax.block_until_ready(f(core_f))
+    t0 = time.monotonic()
+    for _ in range(3):
+        r = f(core_f)
+    jax.block_until_ready(r)
+    per_step = (time.monotonic() - t0) / 3 / n_chunks
+
+    nbytes = lambda tree: sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+    state_b = nbytes(core_f)
+    audio_in = nbytes([far_lm, noisy_lm, cos_all, sin_all]) + run_rows.size * 4
+    audio_out = n_frames * 80 * B * 4
+    lane_tile = fused._pick_tile(B)
+    table_b = nbytes(list(t)) * (B // lane_tile)   # re-read per grid program
+    total = 2 * state_b + audio_in + audio_out + table_b
+    gbps = total / per_step / 1e9
+    print(f"fused kernel roofline @ {rate} Hz, B={B}, cps={cps} "
+          f"(n_frames={n_frames}, {n_slots} slots):")
+    print(f"  state/stream        {state_b / B:8.0f} B  (in + out)")
+    print(f"  bytes/kernel-step   {total / 1e6:8.2f} MB "
+          f"(state 2x{state_b / 1e6:.2f}, audio {audio_in / 1e6:.2f}+"
+          f"{audio_out / 1e6:.2f}, tables {table_b / 1e6:.2f})")
+    print(f"  measured            {per_step * 1e3:8.3f} ms/step "
+          f"-> {gbps:6.1f} GB/s = {100 * gbps / V5E_HBM_GBPS:.1f}% of "
+          f"v5e peak ({V5E_HBM_GBPS:.0f} GB/s)")
+    print(f"  bandwidth-bound floor {total / V5E_HBM_GBPS / 1e6:6.3f} ms "
+          f"-> headroom x{per_step * 1e9 * V5E_HBM_GBPS / total:4.2f} "
+          f"if HBM-bound")
+
+
 def main():
     cmds = {"components": cmd_components, "ablate": cmd_ablate,
-            "skeleton": cmd_skeleton, "fused": cmd_fused}
+            "skeleton": cmd_skeleton, "fused": cmd_fused,
+            "roofline": cmd_roofline}
     which = sys.argv[1] if len(sys.argv) > 1 else "ablate"
     if which not in cmds:
         print(f"usage: python tools/profile.py [{'|'.join(cmds)}]")

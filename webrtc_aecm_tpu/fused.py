@@ -1147,51 +1147,39 @@ def _where_tree(mask, new, old):
         lambda a, b: jnp.where(mask, a, b), new, old)
 
 
-def _process_frame_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
-                     cos_2, sin_2, run_mask, mult: int, has_clean: bool,
-                     abs_approx: bool):
-    """core.process_frame, lane-major: frames are (80, B); cos_2/sin_2 are
-    (2*64, B) phase-table rows for this frame's two block slots."""
-    fill = core.frame_fill
-    two_blocks = fill >= 48
-    work_far = _place_at_fill_f(core.in_carry_far, farend, fill)
-    work_noisy = _place_at_fill_f(core.in_carry_noisy, nearend_noisy, fill)
+def _n_slots_for(n_frames: int) -> int:
+    """Max live 64-sample blocks over an n_frames-frame span: the carry
+    fill is always < 64, so consumed blocks = (fill0 + 80*n) // 64 at most
+    this (fill0 <= 48)."""
+    return (n_frames * D.FRAME_LEN + 48) // D.PART_LEN
 
-    def gated(new, old):
-        return jnp.where(run_mask, new, old)
 
-    new_core = core._replace(
-        in_carry_far=gated(work_far[D.PART_LEN:2 * D.PART_LEN],
-                           core.in_carry_far),
-        in_carry_noisy=gated(work_noisy[D.PART_LEN:2 * D.PART_LEN],
-                             core.in_carry_noisy),
-        frame_fill=gated(jnp.where(two_blocks, fill - 48, fill + 16),
-                         core.frame_fill))
-    if has_clean:
-        work_clean = _place_at_fill_f(core.in_carry_clean, nearend_clean,
-                                      fill)
-        new_core = new_core._replace(
-            in_carry_clean=gated(work_clean[D.PART_LEN:2 * D.PART_LEN],
-                                 core.in_carry_clean))
-    core = new_core
+def _select_slot(outs, idx):
+    """outs[idx] with a per-lane (1, B) index over the static slot list."""
+    sel = jnp.zeros_like(outs[0])
+    for s, o in enumerate(outs):
+        sel = jnp.where(idx == s, o, sel)
+    return sel
 
-    out_blocks = []
-    for k in range(2):
-        active = run_mask if k == 0 else (two_blocks & run_mask)
-        blk_far = work_far[k * D.PART_LEN:(k + 1) * D.PART_LEN]
-        blk_noisy = work_noisy[k * D.PART_LEN:(k + 1) * D.PART_LEN]
-        blk_clean = (work_clean[k * D.PART_LEN:(k + 1) * D.PART_LEN]
-                     if has_clean else None)
-        new_core, out_b = _process_block_f(
-            core, t, blk_far, blk_noisy, blk_clean,
-            cos_2[k * D.PART_LEN:(k + 1) * D.PART_LEN],
-            sin_2[k * D.PART_LEN:(k + 1) * D.PART_LEN],
-            mult, has_clean, abs_approx)
-        core = _where_tree(active, new_core, core)
-        out_blocks.append(jnp.where(active, out_b, 0))
 
-    produced = jnp.concatenate(out_blocks, axis=0)
-    return _emit_frame_f(core, produced, two_blocks, run_mask)
+def _suffix_frames(payload, k, n_frames: int, frames_per_chunk: int):
+    """Front-align the last k frames of payload ((n*80, B)): out[j] =
+    payload[(n-k)*80 + j], zeros beyond.  k (1, B) counts active frames
+    and is always a multiple of frames_per_chunk (the frames of one 10 ms
+    chunk share their startup decision), so only those shifts are
+    candidates."""
+    F = D.FRAME_LEN
+    out = jnp.zeros_like(payload)
+    for kk in range(frames_per_chunk, n_frames + 1, frames_per_chunk):
+        if kk == n_frames:
+            cand = payload
+        else:
+            cand = jnp.concatenate(
+                [payload[(n_frames - kk) * F:],
+                 jnp.zeros(((n_frames - kk) * F,) + payload.shape[1:],
+                           payload.dtype)], axis=0)
+        out = jnp.where(k == kk, cand, out)
+    return out
 
 
 def _emit_frame_f(core, produced, two_blocks, run_mask):
@@ -1223,108 +1211,106 @@ def _emit_frame_f(core, produced, two_blocks, run_mask):
     return core, out
 
 
-def _slot_activity_2f(fill, run_mask):
-    """3-slot block schedule for a two-frame (16 kHz) chunk.
-
-    A chunk is 160 samples = 2.5 blocks, so of the naive 2 frames x 2
-    block slots at most 3 are ever live: frame 0 has 2 blocks iff
-    fill >= 48 (two0), frame 1 iff the carried fill reaches 48 (two1;
-    two0 and two1 are mutually exclusive since fill steps 0->16->32->48).
-    Schedule: S0 = f0b0 (always), S1 = two0 ? f0b1 : f1b0 (always a real
-    block), S2 = two0 ? f1b0 : f1b1 (live iff two0 | two1) — in time
-    order, which the CNG seed chain relies on.
-    Returns (two0, fill1, two1, acts[3])."""
-    two0 = fill >= 48
-    fill1 = jnp.where(two0, fill - 48, fill + 16)
-    two1 = fill1 >= 48
-    acts = [run_mask, run_mask, run_mask & (two0 | two1)]
-    return two0, fill1, two1, acts
-
-
-def _frames_step_2f(core, t: Tables, far_frames, noisy_frames,
-                    cos_all, sin_all, run_mask, mult: int,
-                    abs_approx: bool):
-    """Two-frame (16 kHz) chunk with the 3-slot schedule: 25% less block
-    compute and state selection than 2x2 masked slots.  Bit-exact with
-    the frame-major path (the slots compute the same blocks in the same
-    order; inactive-slot state is masked off identically)."""
-    F, P = D.FRAME_LEN, D.PART_LEN
-    fill0 = core.frame_fill
-    two0, fill1, two1, acts = _slot_activity_2f(fill0, run_mask)
-
-    work_far0 = _place_at_fill_f(core.in_carry_far, far_frames[:F], fill0)
-    work_noi0 = _place_at_fill_f(core.in_carry_noisy, noisy_frames[:F],
-                                 fill0)
-    work_far1 = _place_at_fill_f(work_far0[P:2 * P], far_frames[F:], fill1)
-    work_noi1 = _place_at_fill_f(work_noi0[P:2 * P], noisy_frames[F:],
-                                 fill1)
-
-    def gated(new, old):
-        return jnp.where(run_mask, new, old)
-
-    core = core._replace(
-        in_carry_far=gated(work_far1[P:2 * P], core.in_carry_far),
-        in_carry_noisy=gated(work_noi1[P:2 * P], core.in_carry_noisy),
-        frame_fill=gated(jnp.where(two1, fill1 - 48, fill1 + 16),
-                         core.frame_fill))
-
-    slot_far = [
-        work_far0[:P],
-        jnp.where(two0, work_far0[P:2 * P], work_far1[:P]),
-        jnp.where(two0, work_far1[:P], work_far1[P:2 * P]),
-    ]
-    slot_noi = [
-        work_noi0[:P],
-        jnp.where(two0, work_noi0[P:2 * P], work_noi1[:P]),
-        jnp.where(two0, work_noi1[:P], work_noi1[P:2 * P]),
-    ]
-
-    outs = []
-    for s in range(3):
-        new_core, out_b = _process_block_f(
-            core, t, slot_far[s], slot_noi[s], None,
-            cos_all[s * P:(s + 1) * P], sin_all[s * P:(s + 1) * P],
-            mult, False, abs_approx)
-        core = _where_tree(acts[s], new_core, core)
-        outs.append(jnp.where(acts[s], out_b, 0))
-
-    zero = jnp.zeros_like(outs[0])
-    produced0 = jnp.concatenate(
-        [outs[0], jnp.where(two0, outs[1], zero)], axis=0)
-    core, out0 = _emit_frame_f(core, produced0, two0, run_mask)
-    produced1 = jnp.concatenate(
-        [jnp.where(two0, outs[2], outs[1]),
-         jnp.where(~two0 & two1, outs[2], zero)], axis=0)
-    core, out1 = _emit_frame_f(core, produced1, two1, run_mask)
-    return core, jnp.concatenate([out0, out1], axis=0)
-
-
 def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
-                cos_all, sin_all, run_mask, mult: int, n_frames: int,
-                has_clean: bool, abs_approx: bool = False):
-    """The full per-chunk core path: n_frames x process_frame, lane-major.
+                cos_all, sin_all, run_rows, mult: int, n_frames: int,
+                has_clean: bool, abs_approx: bool = False,
+                frames_per_chunk: int = 1):
+    """The full n_frames-frame core path, lane-major, as a slot-major
+    block schedule over the concatenated sample stream.
+
+    A span of n frames adds n*80 samples on top of the carry fill
+    f0 ∈ {0,16,32,48}; blocks are consumed greedily (aecm_core.cc:527),
+    so block s is ALWAYS samples [64s, 64s+64) of the stream
+    carry+payload, and exactly (f0 + 80k) // 64 blocks are live (k =
+    active frames).  Static stream windows replace per-frame masked
+    slots: e.g. a 4-frame 8 kHz span runs 5 slots (1.25 blocks/frame
+    exactly) instead of 8, and a 2-frame 16 kHz chunk runs 3 (2.5 avg).
 
     far/noisy/clean_frames: (n_frames*80, B); cos/sin_all:
-    (n_frames*2*64, B); run_mask: (1, B) bool.  Runs identically as plain
-    jnp (CPU/testing) and inside the Pallas kernel (TPU).
+    (n_slots*64, B) per-SLOT CNG phase rows; run_rows: (n_frames, B)
+    bool, non-decreasing along the frame axis (startup only ever ends)
+    and constant within each frames_per_chunk group (one 10 ms chunk
+    shares its startup decision).  Bit-exact with the frame-major XLA
+    path — the slots compute the same blocks in the same order, and the
+    carry/emit updates follow identical rules (tests/test_fused.py).
+    Runs identically as plain jnp (CPU/testing) and inside the Pallas
+    kernel (TPU).
     """
-    if n_frames == 2 and not has_clean:
-        return _frames_step_2f(core, t, far_frames, noisy_frames,
-                               cos_all, sin_all, run_mask, mult,
-                               abs_approx)
+    F, P = D.FRAME_LEN, D.PART_LEN
+    n = n_frames
+    n_slots = _n_slots_for(n)
+    assert cos_all.shape[0] == n_slots * P, (cos_all.shape, n_slots)
+    fill0 = core.frame_fill                         # (1, B)
+    k = _sum0(run_rows.astype(I32))                 # (1, B) active frames
+    run_last = run_rows[n - 1:n]                    # (1, B): k > 0
+
+    # full sample stream: carry + the active frames' samples, then zero
+    # padding out to the last carry window (64*(n_slots+1) rows)
+    pad_rows = P * (n_slots + 1) - (n * F + P)
+
+    def stream(carry, payload):
+        eff = _suffix_frames(payload, k, n, frames_per_chunk)
+        placed = _place_at_fill_f(carry, eff, fill0)
+        if pad_rows:
+            placed = jnp.concatenate(
+                [placed, jnp.zeros((pad_rows,) + placed.shape[1:],
+                                   placed.dtype)], axis=0)
+        return placed
+
+    full_far = stream(core.in_carry_far, far_frames)
+    full_noi = stream(core.in_carry_noisy, noisy_frames)
+    full_cl = (stream(core.in_carry_clean, clean_frames)
+               if has_clean else None)
+
+    total = fill0 + F * k                           # valid stream samples
     outs = []
-    for f in range(n_frames):
-        fr = far_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
-        no = noisy_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
-        cl = (clean_frames[f * D.FRAME_LEN:(f + 1) * D.FRAME_LEN]
-              if has_clean else None)
-        cs = cos_all[f * 128:(f + 1) * 128]
-        sn = sin_all[f * 128:(f + 1) * 128]
-        core, out_f = _process_frame_f(core, t, fr, no, cl, cs, sn,
-                                       run_mask, mult, has_clean,
-                                       abs_approx)
-        outs.append(out_f)
-    return core, jnp.concatenate(outs, axis=0)
+    for s in range(n_slots):
+        act = total >= P * (s + 1)
+        new_core, out_b = _process_block_f(
+            core, t,
+            full_far[s * P:(s + 1) * P], full_noi[s * P:(s + 1) * P],
+            full_cl[s * P:(s + 1) * P] if has_clean else None,
+            cos_all[s * P:(s + 1) * P], sin_all[s * P:(s + 1) * P],
+            mult, has_clean, abs_approx)
+        core = _where_tree(act, new_core, core)
+        outs.append(jnp.where(act, out_b, 0))
+
+    # in-carry update: rows [64, 128) of the last active frame's work
+    # window = stream rows [64*(b_last+1), +64) — reproduces the XLA
+    # path's carry contents bit-for-bit, including the ignored residue
+    # beyond the fill (compared by the state-equality tests)
+    b_last_p1 = ((fill0 + F * jnp.maximum(k - 1, 0)) >> 6) + 1
+
+    def carry_from(full, old):
+        sel = jnp.zeros_like(old)
+        for w in range(1, n_slots + 1):
+            sel = jnp.where(b_last_p1 == w, full[w * P:(w + 1) * P], sel)
+        return jnp.where(run_last, sel, old)
+
+    core = core._replace(
+        in_carry_far=carry_from(full_far, core.in_carry_far),
+        in_carry_noisy=carry_from(full_noi, core.in_carry_noisy),
+        frame_fill=(fill0 + 16 * k) & 63)
+    if has_clean:
+        core = core._replace(
+            in_carry_clean=carry_from(full_cl, core.in_carry_clean))
+
+    # per-frame output attribution + the 80-sample emit machinery, in
+    # frame order (blocks never read the out-carry state, so slot-major
+    # block processing before frame-major emission is safe)
+    out_frames = []
+    for f in range(n):
+        run_f = run_rows[f:f + 1]
+        j_f = jnp.maximum(k - (n - f), 0)       # index among active frames
+        two_f = (((fill0 + 16 * j_f) & 63) >= 48) & run_f
+        b_f = (fill0 + F * j_f) >> 6            # first block of frame f
+        first = _select_slot(outs, b_f)
+        second = jnp.where(two_f, _select_slot(outs, b_f + 1),
+                           jnp.zeros_like(first))
+        core, out_f = _emit_frame_f(
+            core, jnp.concatenate([first, second], axis=0), two_f, run_f)
+        out_frames.append(out_f)
+    return core, jnp.concatenate(out_frames, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -1444,39 +1430,32 @@ def _est_buf_delay_ctrl(ctrl: CtrlState, mult: int) -> CtrlState:
     return control._est_buf_delay(ctrl, mult)
 
 
-def _precompute_cng_phases(core_f, run_mask_b, n_frames: int):
+def _precompute_cng_phases(core_f, run_rows, n_frames: int):
     """Advance the CNG LCG chain and do the phase-table lookups in XLA,
     before the kernel runs.  The chain is gated exactly like the in-graph
     reference: seed advances 64 draws per ACTIVE block slot when cngMode
-    is on (core.comfort_noise + process_block's use_cng select +
-    process_frame's active mask).  Returns (cos_all, sin_all) with shape
-    (n_frames*2*64, B) lane-major, plus the new seed row (1, B).
+    is on (core.comfort_noise + process_block's use_cng select), where
+    slot activity mirrors frames_step's stream schedule — slot s is live
+    iff fill0 + 80*k >= 64*(s+1) (k = active frames per run_rows).
+    Returns (cos_all, sin_all) with shape (n_slots*64, B) lane-major,
+    plus the new seed row (1, B).
 
     Everything runs lane-major ((64, B) LCG rows via the (64, 1) power
-    tables — zero transposes) and all 2*n_frames slot lookups batch into
-    ONE int8-MXU table contraction (the lookup dominated the driver at
+    tables — zero transposes) and all slot lookups batch into ONE
+    int8-MXU table contraction (the lookup dominated the driver at
     ~0.36 ms/chunk when done per-slot)."""
     a_np, c_np = spl._lcg_tables(D.PART_LEN)
     a_col = jnp.asarray(a_np)[:, None]             # (64, 1) uint32
     c_col = jnp.asarray(c_np)[:, None]
 
     seed = core_f.seed                             # (1, B) uint32
-    fill = core_f.frame_fill                       # (1, B)
     cng = core_f.cng_mode != 0
-    run = run_mask_b                               # (1, B) bool
-
-    if n_frames == 2:                              # 3-slot schedule
-        _, _, _, slot_acts = _slot_activity_2f(fill, run)
-    else:                                          # frame-major slots
-        slot_acts = []
-        for _ in range(n_frames):
-            two = fill >= 48
-            slot_acts += [run, two & run]
-            fill = jnp.where(run, jnp.where(two, fill - 48, fill + 16),
-                             fill)
+    k = _sum0(run_rows.astype(I32))                # (1, B)
+    total = core_f.frame_fill + D.FRAME_LEN * k
 
     idx_rows = []
-    for act in slot_acts:
+    for s in range(_n_slots_for(n_frames)):
+        act = total >= D.PART_LEN * (s + 1)
         seeds_n = (a_col * seed + c_col) & U32(spl._LCG_MASK)  # (64, B)
         rand_w16 = (seeds_n >> U32(16)).astype(I32)
         idx_rows.append((359 * rand_w16) >> 15)
@@ -1487,8 +1466,9 @@ def _precompute_cng_phases(core_f, run_mask_b, n_frames: int):
 
 
 def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
-                        cos_all, sin_all, run_mask_lm, mult: int,
-                        n_frames: int, has_clean: bool, abs_approx: bool):
+                        cos_all, sin_all, run_rows, mult: int,
+                        n_frames: int, has_clean: bool, abs_approx: bool,
+                        frames_per_chunk: int = 1):
     """Run frames_step inside one pallas_call, grid over 128-lane tiles."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1500,7 +1480,7 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
     t_leaves = list(t)
 
     data_in = [far_lm, noisy_lm] + ([clean_lm] if has_clean else []) + [
-        cos_all, sin_all, run_mask_lm.astype(I32)]
+        cos_all, sin_all, run_rows.astype(I32)]
     n_tables = len(t_leaves)
     n_data = len(data_in)
 
@@ -1523,7 +1503,8 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
 
         core_out, out = frames_step(core_vals, tt, far_v, noisy_v, clean_v,
                                     cos_v, sin_v, run_v != 0, mult,
-                                    n_frames, has_clean, abs_approx)
+                                    n_frames, has_clean, abs_approx,
+                                    frames_per_chunk)
         out_ref[:] = out
         for r, v in zip(so_refs,
                         jax.tree_util.tree_leaves(core_out)):
@@ -1568,48 +1549,45 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
 def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                           use_kernel: Optional[bool] = None,
                           abs_approx: bool = False,
-                          lane_major_io: bool = False):
-    """One 10 ms serving step (BufferFarend + Process) on FusedState.
+                          lane_major_io: bool = False,
+                          chunks_per_step: int = 1):
+    """One serving step of `chunks_per_step` × 10 ms on FusedState.
 
     Drop-in equivalent of parallel.batch.make_chunk_step, bit-exact with
     it (tests/test_fused.py, tools/check_fused_parity.py); the core path
     runs as a single Pallas kernel on TPU (use_kernel=None: auto — kernel
-    when the default backend is TPU, pure jnp otherwise).
+    when the default backend is TPU, pure jnp otherwise).  Dual-input
+    (nearend_clean) serving runs in the same kernel (the reference
+    computes the clean FFT inside the same hot loop,
+    aecm_core_c.cc:442-463).
 
-    lane_major_io: nearend comes in and output returns as (out_len, B)
-    lane-major instead of (B, out_len) — the offline driver
-    (run_streams_fused) uses this to hoist the per-chunk layout transposes
-    out of the scan.  `far` stays (B, out_len) (it feeds the batch-leading
-    jitter ring).
+    chunks_per_step > 1 fuses several 10 ms chunks into ONE kernel call
+    (the offline driver uses this: a 4-chunk 8 kHz span is exactly 5
+    blocks — no masked-slot waste) while the control layer still runs its
+    exact per-chunk sequence; bit-identical for any value.
+
+    Step signature: (state, far, noisy[, clean], ms) -> (state, out,
+    warn).  far is (B, chunks_per_step*out_len); noisy/clean/out are the
+    same batch-leading shape, or (rows, B) lane-major when lane_major_io
+    (the offline driver hoists the layout transposes out of its scan).
+    ms is a scalar, (B,), or (chunks_per_step, B).  warn is (B,) for
+    chunks_per_step == 1, else (chunks_per_step, B).
     """
-    if has_clean:
-        raise NotImplementedError(
-            "fused path covers the clean=None serving config; use the XLA "
-            "path (parallel.batch.make_chunk_step) for dual-input calls")
     mult = sample_rate // 8000
     out_len = min(160, sample_rate // 100)
-    n_frames = out_len // D.FRAME_LEN
-    n_blocks_10ms = n_frames // mult
+    fpc = out_len // D.FRAME_LEN          # frames per 10 ms chunk
+    n_blocks_10ms = fpc // mult
     est_idx = 0 if sample_rate == 8000 else 1
+    cps = chunks_per_step
+    n_frames = fpc * cps
 
-    def step(state: FusedState, far, noisy, ms_in_sndcard_buf):
-        kernel_on = use_kernel
-        if kernel_on is None:
-            kernel_on = jax.default_backend() == "tpu"
-        if kernel_on and _pick_tile(state.ctrl.ec_startup.shape[0]) == 0:
-            kernel_on = False          # batch not tileable: pure path
-        la_capacity = state.core.de_near.binary_history.shape[0]
-        if la_capacity != 1:
-            raise NotImplementedError(
-                "the fused path covers the AECM delay-estimator "
-                "configuration (lookahead capacity 0); this state was "
-                f"built with max_lookahead={la_capacity - 1} — use the XLA "
-                "path (parallel.batch / AecmPipeline(engine='xla'))")
-        t = make_tables()
-
-        ctrl, core_f = state.ctrl, state.core
-        far_b = jnp.asarray(far, I32)
-
+    def ctrl_chunk(ctrl: CtrlState, far_c, ms_c):
+        """The exact per-10 ms control sequence (echo_control_mobile.cc):
+        delay comp, jitter-ring write, sndcard clamp, startup machine,
+        per-frame availability + EstBufDelay, one ring data pass, underrun
+        replay, startup-field merge — pointer math in XLA, data moves in
+        the ring kernels.  Returns (ctrl, far frames, run, in_startup,
+        warn)."""
         # --- BufferFarend: delay comp + write POINTER math; the ring data
         # pass itself is deferred and fused with the frame reads into one
         # streaming kernel (three full-ring passes/chunk were the dominant
@@ -1636,11 +1614,9 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                                 fb.write_pos + n_write),
             rw_wrap=jnp.where(wrapped, I32(rbuf.DIFF_WRAP), fb.rw_wrap)))
 
-        b = state.ctrl.ec_startup.shape[0]
-        ms = jnp.broadcast_to(jnp.asarray(ms_in_sndcard_buf, I32), (b,))
-        warn = jnp.where((ms < 0) | (ms > 500),
+        warn = jnp.where((ms_c < 0) | (ms_c > 500),
                          I32(D.AECM_BAD_PARAMETER_WARNING), I32(0))
-        ms = jnp.clip(ms, 0, 500) + 10
+        ms = jnp.clip(ms_c, 0, 500) + 10
         ctrl = ctrl._replace(ms_in_sndcard_buf=ms)
 
         in_startup = ctrl.ec_startup != 0
@@ -1651,7 +1627,7 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         # (pointer-only; run-gated) ---
         read_pos0 = ctrl.farend_buf.read_pos
         haves = []
-        for i in range(n_frames):
+        for i in range(fpc):
             filled = (rbuf.available_read(ctrl.farend_buf)
                       // D.FRAME_LEN).astype(I32)
             have_data = (filled > 0) & run
@@ -1679,12 +1655,12 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         # haves[i+1] implies haves[i] (frame i+1's availability check runs
         # after frame i consumed), so frame i's source is gathered[i*80:]. ---
         new_ring, gathered = _ring_write_gather(
-            fb.data, write_pos0, far_b, n_write, read_pos0, out_len)
+            fb.data, write_pos0, far_c, n_write, read_pos0, out_len)
         ctrl = ctrl._replace(
             farend_buf=ctrl.farend_buf._replace(data=new_ring))
         frames_far = []
         farend_old = ctrl.farend_old
-        for i in range(n_frames):
+        for i in range(fpc):
             old_i = farend_old[:, i, :]
             farend_i = jnp.where(
                 haves[i][:, None],
@@ -1694,40 +1670,9 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
             frames_far.append(farend_i)
         ctrl = ctrl._replace(farend_old=farend_old)
 
-        # --- CNG RNG chain + phase lookups, hoisted pre-kernel ---
-        cos_all, sin_all, new_seed = _precompute_cng_phases(
-            core_f, run, n_frames)
-        core_f = core_f._replace(seed=new_seed)
-
-        far_lm = jnp.concatenate(
-            [jnp.asarray(f, I32).T for f in frames_far], axis=0)
-        if lane_major_io:
-            noisy_lm = jnp.asarray(noisy, I32)
-        else:
-            noisy_b = jnp.asarray(noisy, I32)
-            noisy_lm = noisy_b.reshape(-1, n_frames, D.FRAME_LEN
-                                       ).transpose(1, 2, 0).reshape(
-                n_frames * D.FRAME_LEN, -1)
-        run_lm = run[None, :]
-
-        if kernel_on:
-            core_f, out_lm = _frames_kernel_call(
-                core_f, t, far_lm, noisy_lm, None, cos_all, sin_all,
-                run_lm, mult, n_frames, False, abs_approx)
-        else:
-            core_f, out_lm = frames_step(
-                core_f, t, far_lm, noisy_lm, None, cos_all, sin_all,
-                run_lm, mult, n_frames, False, abs_approx)
-
-        if lane_major_io:
-            out = jnp.where(in_startup[None, :], noisy_lm, out_lm)
-        else:
-            out = out_lm.reshape(n_frames, D.FRAME_LEN, -1
-                                 ).transpose(2, 0, 1).reshape(
-                -1, n_frames * D.FRAME_LEN)
-            out = jnp.where(in_startup[:, None], noisy_b, out)
-
-        # --- final merge: startup-owned fields from `started` ---
+        # --- startup-owned fields merge from `started` (takes effect
+        # before the NEXT chunk's control; the core kernel reads nothing
+        # from ctrl, so merging here ≡ the reference's per-call order) ---
         ctrl = ctrl._replace(
             farend_buf=ctrl.farend_buf._replace(
                 read_pos=jnp.where(in_startup, started.farend_buf.read_pos,
@@ -1739,29 +1684,122 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                for f in ("ec_startup", "check_buff_size",
                          "check_buf_size_ctr", "counter", "sum",
                          "first_val", "buf_size_start")})
+        return ctrl, frames_far, run, in_startup, warn
+
+    def _step_impl(state: FusedState, far, noisy, clean, ms_in):
+        kernel_on = use_kernel
+        if kernel_on is None:
+            kernel_on = jax.default_backend() == "tpu"
+        b = state.ctrl.ec_startup.shape[0]
+        if kernel_on and _pick_tile(b) == 0:
+            kernel_on = False          # batch not tileable: pure path
+        la_capacity = state.core.de_near.binary_history.shape[0]
+        if la_capacity != 1:
+            raise NotImplementedError(
+                "the fused path covers the AECM delay-estimator "
+                "configuration (lookahead capacity 0); this state was "
+                f"built with max_lookahead={la_capacity - 1} — use the XLA "
+                "path (parallel.batch / AecmPipeline(engine='xla'))")
+        t = make_tables()
+
+        ctrl, core_f = state.ctrl, state.core
+        far_b = jnp.asarray(far, I32)
+        ms_all = jnp.broadcast_to(jnp.asarray(ms_in, I32), (cps, b))
+
+        frames_far, run_l, startup_l, warns = [], [], [], []
+        for c in range(cps):
+            ctrl, ff, run_c, in_st_c, warn_c = ctrl_chunk(
+                ctrl, far_b[:, c * out_len:(c + 1) * out_len], ms_all[c])
+            frames_far += ff
+            run_l.append(run_c)
+            startup_l.append(in_st_c)
+            warns.append(warn_c)
+        run_rows = jnp.stack(
+            [r for r in run_l for _ in range(fpc)], axis=0)  # (n_frames, B)
+
+        # --- CNG RNG chain + phase lookups, hoisted pre-kernel ---
+        cos_all, sin_all, new_seed = _precompute_cng_phases(
+            core_f, run_rows, n_frames)
+        core_f = core_f._replace(seed=new_seed)
+
+        far_lm = jnp.concatenate(
+            [jnp.asarray(f, I32).T for f in frames_far], axis=0)
+
+        def to_lm(x):
+            xb = jnp.asarray(x, I32)
+            return xb.reshape(-1, n_frames, D.FRAME_LEN
+                              ).transpose(1, 2, 0).reshape(
+                n_frames * D.FRAME_LEN, -1)
+
+        if lane_major_io:
+            noisy_lm = jnp.asarray(noisy, I32)
+            clean_lm = jnp.asarray(clean, I32) if has_clean else None
+        else:
+            noisy_lm = to_lm(noisy)
+            clean_lm = to_lm(clean) if has_clean else None
+
+        if kernel_on:
+            core_f, out_lm = _frames_kernel_call(
+                core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
+                run_rows, mult, n_frames, has_clean, abs_approx, fpc)
+        else:
+            core_f, out_lm = frames_step(
+                core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
+                run_rows, mult, n_frames, has_clean, abs_approx, fpc)
+
+        # --- per-chunk startup passthrough (the reference passes the
+        # clean input through when provided, echo_control_mobile.cc:289) ---
+        pass_lm = clean_lm if has_clean else noisy_lm
+        rows = [jnp.where(startup_l[c][None, :],
+                          pass_lm[c * out_len:(c + 1) * out_len],
+                          out_lm[c * out_len:(c + 1) * out_len])
+                for c in range(cps)]
+        out_lm = jnp.concatenate(rows, axis=0) if cps > 1 else rows[0]
+        if lane_major_io:
+            out = out_lm
+        else:
+            out = out_lm.reshape(n_frames, D.FRAME_LEN, -1
+                                 ).transpose(2, 0, 1).reshape(
+                -1, n_frames * D.FRAME_LEN)
+        warn = warns[0] if cps == 1 else jnp.stack(warns, axis=0)
         return FusedState(ctrl=ctrl, core=core_f), out, warn
 
+    if has_clean:
+        def step(state, far, noisy, clean, ms_in_sndcard_buf):
+            return _step_impl(state, far, noisy, clean, ms_in_sndcard_buf)
+    else:
+        def step(state, far, noisy, ms_in_sndcard_buf):
+            return _step_impl(state, far, noisy, None, ms_in_sndcard_buf)
     return step
 
 
 def run_streams_fused(state: FusedState, far, near, sample_rate: int,
                       ms_in_sndcard_buf=40,
-                      use_kernel: Optional[bool] = None):
+                      use_kernel: Optional[bool] = None,
+                      clean=None,
+                      chunks_per_step: Optional[int] = None):
     """parallel.batch.run_streams on the fused path: whole signals in one
-    jittable lax.scan over 10 ms chunks, the core path as one Pallas kernel
-    per chunk.  far/near: (n_streams, n_samples); returns (state, out)."""
+    jittable lax.scan, the core path as one Pallas kernel per scan step.
+    far/near[/clean]: (n_streams, n_samples); returns (state, out).
+
+    chunks_per_step: how many 10 ms chunks each scan step fuses into one
+    kernel (default 4 @ 8 kHz — a 4-chunk span is exactly 5 blocks, no
+    masked-slot waste — and 2 @ 16 kHz = exactly 5 blocks).  Bit-identical
+    for any value: the control layer always runs its exact per-chunk
+    sequence.  A non-dividing tail of chunks runs as one final smaller
+    step."""
     chunk = min(160, sample_rate // 100)
     far = jnp.asarray(far, I32)
     near = jnp.asarray(near, I32)
+    has_clean = clean is not None
+    if has_clean:
+        clean = jnp.asarray(clean, I32)
     n_streams, n_samples = near.shape
     n_chunks = n_samples // chunk
-
-    def to_time_major(x):
-        return x[:, :n_chunks * chunk].reshape(
-            n_streams, n_chunks, chunk).transpose(1, 0, 2)
-
-    def to_lane_major(x):  # (B, T) -> (n_chunks, chunk, B): ONE transpose
-        return x[:, :n_chunks * chunk].T.reshape(n_chunks, chunk, n_streams)
+    if chunks_per_step is None:
+        chunks_per_step = 4 if sample_rate == 8000 else 2
+    cps = max(1, min(chunks_per_step, n_chunks))
+    n_super, rem = divmod(n_chunks, cps)
 
     ms = jnp.asarray(ms_in_sndcard_buf, I32)
     if ms.ndim == 0 or (ms.ndim == 1 and ms.shape[0] == n_streams):
@@ -1771,15 +1809,40 @@ def run_streams_fused(state: FusedState, far, near, sample_rate: int,
     else:
         ms_t = ms
 
-    step = make_fused_chunk_step(sample_rate, use_kernel=use_kernel,
-                                 lane_major_io=True)
+    def seg_tm(x, lo, hi, c):   # chunks [lo, hi) grouped by c, batch-major
+        return x[:, lo * chunk:hi * chunk].reshape(
+            n_streams, (hi - lo) // c, c * chunk).transpose(1, 0, 2)
 
-    def scan_fn(st, xs):
-        f, d, m = xs
-        st, out, _ = step(st, f, d, m)
-        return st, out
+    def seg_lm(x, lo, hi, c):   # same, lane-major: ONE transpose
+        return x[:, lo * chunk:hi * chunk].T.reshape(
+            (hi - lo) // c, c * chunk, n_streams)
 
-    state, outs = jax.lax.scan(
-        scan_fn, state, (to_time_major(far), to_lane_major(near), ms_t))
-    out = outs.reshape(n_chunks * chunk, n_streams).T
+    def run_span(st, lo, hi, c):
+        stepc = make_fused_chunk_step(sample_rate, has_clean=has_clean,
+                                      use_kernel=use_kernel,
+                                      lane_major_io=True,
+                                      chunks_per_step=c)
+        xs = [seg_tm(far, lo, hi, c), seg_lm(near, lo, hi, c)]
+        if has_clean:
+            xs.append(seg_lm(clean, lo, hi, c))
+        xs.append(ms_t[lo:hi].reshape((hi - lo) // c, c, n_streams))
+
+        def scan_fn(s, x):
+            if has_clean:
+                f, d, cl, m = x
+                s, out, _ = stepc(s, f, d, cl, m)
+            else:
+                f, d, m = x
+                s, out, _ = stepc(s, f, d, m)
+            return s, out
+
+        st, outs = jax.lax.scan(scan_fn, st, tuple(xs))
+        return st, outs.reshape((hi - lo) * chunk, n_streams)
+
+    state, out_main = run_span(state, 0, n_super * cps, cps)
+    parts = [out_main]
+    if rem:
+        state, out_rem = run_span(state, n_super * cps, n_chunks, rem)
+        parts.append(out_rem)
+    out = jnp.concatenate(parts, axis=0).T if rem else out_main.T
     return state, out

@@ -43,8 +43,8 @@ class AecmPipeline:
       engine: "fused" (the lane-major single-kernel serving path,
         webrtc_aecm_tpu/fused.py), "xla" (the vmapped reference path), or
         "auto" (fused on TPU, xla elsewhere).  Both engines are bit-exact
-        with each other and the C reference; fused is ~1.6x faster on TPU.
-        Dual-input (clean) calls fall back to the xla path per call.
+        with each other and the C reference — including dual-input
+        (clean) serving, which the fused engine runs in the same kernel.
     """
 
     def __init__(self, n_streams: int, sample_rate: int = 16000,
@@ -174,13 +174,14 @@ class AecmPipeline:
     def _get_step(self, has_clean: bool):
         key = (has_clean, self.engine)
         if key not in self._step:
-            if self.engine == "fused" and not has_clean:
+            if self.engine == "fused":
                 if self.mesh is not None:
                     self._step[key] = psharding.make_sharded_step_fused(
-                        self.sample_rate, self.mesh)
+                        self.sample_rate, self.mesh, has_clean=has_clean)
                 else:
                     self._step[key] = jax.jit(
-                        fused_mod.make_fused_chunk_step(self.sample_rate))
+                        fused_mod.make_fused_chunk_step(
+                            self.sample_rate, has_clean=has_clean))
             elif self.mesh is not None:
                 self._step[key] = psharding.make_sharded_step(
                     self.sample_rate, self.mesh, has_clean)
@@ -199,15 +200,6 @@ class AecmPipeline:
                               (self.n_streams,))
         far = jnp.asarray(far, I32)
         near = jnp.asarray(near, I32)
-        if clean is not None and self.engine == "fused":
-            # dual-input serving runs on the xla path; state round-trips
-            # through the canonical layout (bit-identical)
-            fn = self._get_step_xla_clean()
-            canon = self._canonical()
-            canon, out, warn = fn(canon, far, near,
-                                  jnp.asarray(clean, I32), ms)
-            self._set_canonical(canon)
-            return out, warn
         fn = self._get_step(clean is not None)
         if clean is not None:
             self.state, out, warn = fn(self.state, far, near,
@@ -215,17 +207,6 @@ class AecmPipeline:
         else:
             self.state, out, warn = fn(self.state, far, near, ms)
         return out, warn
-
-    def _get_step_xla_clean(self):
-        key = (True, "xla")
-        if key not in self._step:
-            if self.mesh is not None:
-                self._step[key] = psharding.make_sharded_step(
-                    self.sample_rate, self.mesh, True)
-            else:
-                self._step[key] = jax.jit(
-                    pbatch.make_chunk_step(self.sample_rate, True))
-        return self._step[key]
 
     def run(self, far, near, clean=None, ms_in_sndcard_buf=40):
         """Whole-signal processing: (n_streams, n_samples) → same shape.
@@ -240,28 +221,37 @@ class AecmPipeline:
         far = jnp.asarray(far, I32)
         near = jnp.asarray(near, I32)
 
-        if self.engine == "fused" and not has_clean:
+        if self.engine == "fused":
             n_chunks = near.shape[-1] // self.chunk
             ms2 = self._normalize_ms(ms, n_chunks)
-            key = ("fused", self.mesh is not None)
+            key = ("fused", has_clean, self.mesh is not None)
             if key not in self._run:
+                if has_clean:
+                    run_fn = lambda s, f, d, c, m: \
+                        fused_mod.run_streams_fused(s, f, d, rate, m,
+                                                    clean=c)
+                else:
+                    run_fn = lambda s, f, d, m: \
+                        fused_mod.run_streams_fused(s, f, d, rate, m)
                 if self.mesh is not None:
                     from jax.sharding import PartitionSpec as P
                     st_spec = psharding.fused_state_spec()
-                    fn = jax.shard_map(
-                        lambda s, f, d, m: fused_mod.run_streams_fused(
-                            s, f, d, rate, m),
+                    sp = P(psharding.STREAM_AXIS)
+                    audio_specs = (sp, sp, sp) if has_clean else (sp, sp)
+                    run_fn = jax.shard_map(
+                        run_fn,
                         mesh=self.mesh,
-                        in_specs=(st_spec, P(psharding.STREAM_AXIS),
-                                  P(psharding.STREAM_AXIS),
-                                  P(None, psharding.STREAM_AXIS)),
-                        out_specs=(st_spec, P(psharding.STREAM_AXIS)),
+                        in_specs=(st_spec,) + audio_specs
+                        + (P(None, psharding.STREAM_AXIS),),
+                        out_specs=(st_spec, sp),
                         check_vma=False)
-                else:
-                    fn = lambda s, f, d, m: fused_mod.run_streams_fused(
-                        s, f, d, rate, m)
-                self._run[key] = jax.jit(fn)
-            self.state, out = self._run[key](self.state, far, near, ms2)
+                self._run[key] = jax.jit(run_fn)
+            if has_clean:
+                self.state, out = self._run[key](
+                    self.state, far, near, jnp.asarray(clean, I32), ms2)
+            else:
+                self.state, out = self._run[key](self.state, far, near,
+                                                 ms2)
             return out
 
         if has_clean not in self._run:
@@ -271,13 +261,6 @@ class AecmPipeline:
             else:
                 fn = lambda s, f, d, m: pbatch.run_streams(s, f, d, rate, m)
             self._run[has_clean] = jax.jit(fn)
-
-        if self.engine == "fused":                  # has_clean fallback
-            canon = self._canonical()
-            canon, out = self._run[has_clean](
-                canon, far, near, jnp.asarray(clean, I32), ms)
-            self._set_canonical(canon)
-            return out
 
         if has_clean:
             self.state, out = self._run[has_clean](

@@ -96,21 +96,23 @@ def shard_streams_fused(fstate, mesh: Mesh, axis_name: str = STREAM_AXIS):
 
 
 def make_sharded_step_fused(sample_rate: int, mesh: Mesh,
-                            use_kernel=None,
+                            use_kernel=None, has_clean: bool = False,
                             axis_name: str = STREAM_AXIS):
     """The fused serving step (whole core path as one Pallas kernel per
     device) sharded over the stream axis — the production multi-chip
     configuration.  Same shard_map rationale as make_sharded_step; each
     device runs the fused kernel on its local stream tile.
 
-    Returns `step(fstate, far, noisy, ms) -> (fstate, out, warn)`; audio
-    is batch-leading (B, chunk), state is a FusedState."""
+    Returns `step(fstate, far, noisy[, clean], ms) -> (fstate, out,
+    warn)`; audio is batch-leading (B, chunk), state is a FusedState."""
     from .. import fused
 
-    step = fused.make_fused_chunk_step(sample_rate, use_kernel=use_kernel)
+    step = fused.make_fused_chunk_step(sample_rate, has_clean=has_clean,
+                                       use_kernel=use_kernel)
     spec = P(axis_name)
     st_spec = fused_state_spec(axis_name)
+    n_audio = 3 if has_clean else 2
     sharded = jax.shard_map(
-        step, mesh=mesh, in_specs=(st_spec, spec, spec, spec),
+        step, mesh=mesh, in_specs=(st_spec,) + (spec,) * (n_audio + 1),
         out_specs=(st_spec, spec, spec), check_vma=False)
     return jax.jit(sharded)
