@@ -56,10 +56,12 @@ def _assert_tree_equal(a, b, path=""):
 
 
 def _check_fused_vs_xla(fs, n_chunks, burst_at, with_clean=False,
-                        chunks_per_step=None, seed=0):
+                        chunks_per_step=None, seed=0, mutate=None):
     """Fused pure path (run_streams_fused, incl. the superchunk slot
     schedule and its non-dividing tail) == batched XLA path: outputs and
-    full state across startup + enabled, varying delays."""
+    full state across startup + enabled, varying delays.  `mutate(state,
+    B)` reconfigures both engines' initial batched state (e.g. a rebuilt
+    delay estimator)."""
     B = 8
     scene = _scene(fs, B, n_chunks, seed=seed, with_clean=with_clean)
     far, near = scene[0], scene[1]
@@ -67,13 +69,16 @@ def _check_fused_vs_xla(fs, n_chunks, burst_at, with_clean=False,
     ms = _desync_ms(n_chunks, B, burst_at)
 
     st = pbatch.create_batch(B, fs)
+    if mutate is not None:
+        st = mutate(st, B)
     ref_state, ref_out = jax.jit(
         lambda s, f, d, c: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms),
                                               clean=c))(
         st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32),
         None if clean is None else jnp.asarray(clean, jnp.int32))
 
-    fstate = fused.create_fused(B, fs)
+    fstate = (fused.to_fused_state(mutate(pbatch.create_batch(B, fs), B))
+              if mutate is not None else fused.create_fused(B, fs))
     fin, out = jax.jit(lambda s, f, d, c: fused.run_streams_fused(
         s, f, d, fs, jnp.asarray(ms), use_kernel=False, clean=c,
         chunks_per_step=chunks_per_step))(
@@ -113,6 +118,25 @@ def test_fused_dual_input_matches_xla_path(fs):
 def test_fused_dual_input_matches_xla_path_soak(fs):
     _check_fused_vs_xla(fs, n_chunks=120, burst_at=60, with_clean=True,
                         seed=3)
+
+
+def _with_lookahead(st, B):
+    """Reconfigure the embedded delay estimator to lookahead capacity 4
+    with per-stream runtime lookahead values 0..3 — the near-history
+    shift + lookahead row select path (delay_estimator.cc:536-543) that
+    AECM's own configuration (capacity 1) never exercises."""
+    dn = st.core.de_near
+    return st._replace(core=st.core._replace(de_near=dn._replace(
+        binary_history=jnp.zeros((B, 4), jnp.uint32),
+        lookahead=(jnp.arange(B, dtype=jnp.int32) % 4))))
+
+
+def test_fused_lookahead_state_matches_xla_path():
+    """A state rebuilt with max_lookahead > 0 serves through the fused
+    engine (round-2 verdict gap 2): bit-exact with the XLA path, whose
+    lookahead handling is golden vs the C wrapper (test_de_reconfig)."""
+    _check_fused_vs_xla(16000, n_chunks=37, burst_at=24, seed=11,
+                        mutate=_with_lookahead)
 
 
 def test_fused_chunks_per_step_variants_identical():

@@ -56,7 +56,7 @@ def _scene(fs, B, n_chunks, with_clean):
 
 
 def check(fs: int, with_clean: bool, chunks_per_step=None,
-          n_chunks: int = 150) -> str:
+          n_chunks: int = 150, lookahead_cap: int = 1) -> str:
     import jax
     import jax.numpy as jnp
     from webrtc_aecm_tpu import fused
@@ -66,13 +66,24 @@ def check(fs: int, with_clean: bool, chunks_per_step=None,
     far, near, clean, ms = _scene(fs, B, n_chunks, with_clean)
     cj = None if clean is None else jnp.asarray(clean, jnp.int32)
 
-    st = pbatch.create_batch(B, fs)
+    def make_state():
+        st = pbatch.create_batch(B, fs)
+        if lookahead_cap > 1:
+            # reconfigured delay estimator: wider near history + runtime
+            # per-stream lookahead (delay_estimator.cc:536-543)
+            dn = st.core.de_near
+            st = st._replace(core=st.core._replace(de_near=dn._replace(
+                binary_history=jnp.zeros((B, lookahead_cap), jnp.uint32),
+                lookahead=(jnp.arange(B, dtype=jnp.int32) % lookahead_cap))))
+        return st
+
+    st = make_state()
     ref_state, ref_out = jax.jit(
         lambda s, f, d, c: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms),
                                               clean=c))(
         st, jnp.asarray(far, jnp.int32), jnp.asarray(near, jnp.int32), cj)
 
-    fstate = fused.create_fused(B, fs)
+    fstate = fused.to_fused_state(make_state())
     fin, out = jax.jit(lambda s, f, d, c: fused.run_streams_fused(
         s, f, d, fs, jnp.asarray(ms), use_kernel=True, clean=c,
         chunks_per_step=chunks_per_step))(
@@ -88,7 +99,8 @@ def check(fs: int, with_clean: bool, chunks_per_step=None,
             err_msg=f"state leaf {jax.tree_util.keystr(kp)}")
     desc = (f"{fs} Hz {'dual-input' if with_clean else 'single-input'} "
             f"cps={chunks_per_step or 'default'} "
-            f"({B} streams x {n_chunks} chunks)")
+            + (f"lookahead_cap={lookahead_cap} " if lookahead_cap > 1 else "")
+            + f"({B} streams x {n_chunks} chunks)")
     print(f"fused kernel == XLA path @ {desc}: outputs + full state "
           f"bit-exact")
     return desc
@@ -107,6 +119,8 @@ def main():
         dict(fs=16000, with_clean=True),
         dict(fs=16000, with_clean=False, chunks_per_step=1,
              n_chunks=60),                            # real-time step path
+        dict(fs=16000, with_clean=False, n_chunks=60,
+             lookahead_cap=4),                        # reconfigured DE
     ]
     done = []
     try:

@@ -316,12 +316,11 @@ def _fused_one(mode: str):
             lambda near, farend, bits:
             (near, jnp.zeros_like(near.last_delay)))
     elif mode == "noalign":
-        fused._aligned_farend_f = lambda core, delay: (
-            jnp.zeros((65, core.far_history.shape[-1]), jnp.int32)
-            + core.channel_stored * 0 + 1,
-            jnp.zeros((1, core.far_history.shape[-1]), jnp.int32))
+        fused._aligned_farend_deferred = lambda ctx, delay: (
+            jnp.zeros((65, ctx["hist"].shape[-1]), jnp.int32) + 1,
+            jnp.zeros((1, ctx["hist"].shape[-1]), jnp.int32))
     elif mode == "nohist":
-        fused._update_far_history_f = lambda core, s, q: core
+        fused._far_merge_deferred = lambda hist, pending, n_act, rows: hist
     elif mode == "nochan":
         fused._update_channel_f = (
             lambda core, fs, fq, dfa, mu, ee: (core, ee))
@@ -367,6 +366,101 @@ def _fused_one(mode: str):
     per_chunk = (time.monotonic() - t0) / 3 / n_chunks
     print(f"fused kernel [{mode:8s}] per chunk {per_chunk*1e3:7.3f} ms "
           f"-> {B * 0.01 / per_chunk:7.0f} streams@RT", flush=True)
+
+
+def cmd_driver():
+    """Ablate the fused serving DRIVER (the real bench graph): scan
+    make_fused_chunk_step over superchunks and stub whole stages — the
+    ring pass, the CNG precompute, the chunk kernel — to split the
+    per-chunk wall time into kernel / ring / control+glue.
+
+    Modes (argv[2] or all): full noring nogather oldring nocng
+    nokernel.  Each runs in a fresh subprocess (monkeypatch + jit cache).
+    Env: B (default 1024), RATE (16000), CPS (2), ITERS (50 super-steps).
+    """
+    import subprocess
+    all_modes = ["full", "noring", "nogather", "oldring", "nocng",
+                 "nokernel"]
+    modes = [sys.argv[2]] if len(sys.argv) > 2 else all_modes
+    if modes[0] == "_run":
+        _driver_one(sys.argv[3])
+        return
+    for m in modes:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "driver", "_run", m], check=False)
+
+
+def _driver_one(mode: str):
+    import jax
+    import jax.numpy as jnp
+    from webrtc_aecm_tpu import fused
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    I32 = jnp.int32
+    rate = int(os.environ.get("RATE", "16000"))
+    cps = int(os.environ.get("CPS", "2"))
+    iters = int(os.environ.get("ITERS", "50"))
+    chunk = min(160, rate // 100)
+
+    if mode == "noring":
+        fused._ring_write_gather = (
+            lambda data, wpos, values, nw, rpos, n:
+            (data, values[:, :n].astype(I32)))
+    elif mode == "nogather":
+        from webrtc_aecm_tpu.ops import pallas_ring
+        pallas_ring.ring_gather_tpu = (
+            lambda data, pos, n: data[:, :n].astype(I32))
+    elif mode == "oldring":
+        # the round-2 scheme: separate per-stream write + gather kernels
+        from webrtc_aecm_tpu.ops import pallas_ring as pr
+
+        def separate(data, wpos, values, nw, rpos, n):
+            vals16 = values.astype(data.dtype)
+            new_data = pr.ring_write_tpu(data, wpos, vals16, nw)
+            return new_data, pr.ring_gather_tpu(new_data, rpos, n).astype(I32)
+        fused._ring_write_gather = separate
+    elif mode == "nocng":
+        # keep shapes, drop the LCG/table work: stub the whole precompute
+        fused._precompute_cng_phases = (
+            lambda core_f, run_rows, n_frames: (
+                jnp.zeros((fused._n_slots_for(n_frames) * 64,
+                           core_f.seed.shape[-1]), I32),
+                jnp.zeros((fused._n_slots_for(n_frames) * 64,
+                           core_f.seed.shape[-1]), I32),
+                core_f.seed))
+    elif mode == "nokernel":
+        def kc_stub(core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
+                    run_rows, mult, n_frames, has_clean, abs_approx,
+                    frames_per_chunk=1):
+            return (core_f._replace(tot_count=core_f.tot_count + 1),
+                    noisy_lm[:n_frames * 80] & 0x7FFF)
+        fused._frames_kernel_call = kc_stub
+
+    state = fused.create_fused(B, rate)
+    step = fused.make_fused_chunk_step(rate, lane_major_io=True,
+                                       chunks_per_step=cps)
+    rng = np.random.default_rng(0)
+    far = jnp.asarray(rng.integers(-3000, 3000, (B, cps * chunk)), I32)
+    noisy = jnp.asarray(rng.integers(-3000, 3000, (cps * chunk, B)), I32)
+    ms = jnp.full((cps, B), 40, I32)
+
+    @jax.jit
+    def run(c0):
+        def body(c, _):
+            c, out, _w = step(c, far, noisy, ms)
+            return c, out[:1]
+        return jax.lax.scan(body, c0, None, length=iters)
+
+    r = jax.block_until_ready(run(state))
+    t0 = time.monotonic()
+    for _ in range(3):
+        r = run(state)
+    jax.block_until_ready(r)
+    per_chunk = (time.monotonic() - t0) / 3 / iters / cps
+    print(f"fused driver [{mode:11s}] per 10ms chunk {per_chunk*1e3:7.3f} ms"
+          f" -> {B * 0.01 / per_chunk:7.0f} streams@RT", flush=True)
 
 
 V5E_HBM_GBPS = 819.0    # v5e peak HBM bandwidth (public spec: 819 GB/s)
@@ -447,7 +541,7 @@ def cmd_roofline():
 def main():
     cmds = {"components": cmd_components, "ablate": cmd_ablate,
             "skeleton": cmd_skeleton, "fused": cmd_fused,
-            "roofline": cmd_roofline}
+            "roofline": cmd_roofline, "driver": cmd_driver}
     which = sys.argv[1] if len(sys.argv) > 1 else "ablate"
     if which not in cmds:
         print(f"usage: python tools/profile.py [{'|'.join(cmds)}]")

@@ -364,10 +364,10 @@ def _real_inverse_fft(re, im, t: Tables):
 
 
 # ---------------------------------------------------------------------------
-# Delay estimator, lane-major port (mirrors delay_estimator.py; the fused
-# path covers the configuration AECM uses — lookahead capacity 0; any
-# history size, taken from the array shapes.  make_fused_chunk_step's step
-# rejects a reconfigured lookahead capacity at trace time.)
+# Delay estimator, lane-major port (mirrors delay_estimator.py; any
+# history size and any lookahead capacity, taken from the array shapes —
+# AECM itself always uses lookahead capacity 0, but reconfigured states
+# built with max_lookahead > 0 serve in the same kernel.)
 # ---------------------------------------------------------------------------
 
 def _binary_spectrum_fix_f(spectrum, mean_spectrum, q_domain, initialized):
@@ -416,13 +416,25 @@ def _argmin0(v):
 
 def _process_binary_spectrum_f(near: de.NearState, farend: de.FarendState,
                                bits):
-    """delay_estimator.process_binary_spectrum, lane-major (lookahead
-    capacity 0: near binary_history has exactly 1 slot)."""
+    """delay_estimator.process_binary_spectrum, lane-major.  Lookahead
+    capacity > 1 (delay_estimator.py:431-436, mirroring
+    delay_estimator.cc:536-543) keeps the near binary history as a
+    shift register and compares the row at the runtime per-stream
+    lookahead — a one-hot masked row select."""
     history_size = near.bit_counts.shape[0]
-    near = near._replace(binary_history=bits)
+    la_cap = near.binary_history.shape[0]
+    if la_cap > 1:
+        hist = _shift_in(near.binary_history, bits)
+        near = near._replace(binary_history=hist)
+        sel = jnp.clip(near.lookahead, 0, la_cap - 1)
+        binary_near = _sum0_u32(
+            jnp.where(_iota_col(la_cap) == sel, hist, U32(0)))
+    else:
+        near = near._replace(binary_history=bits)
+        binary_near = bits
 
     bit_counts = jax.lax.population_count(
-        bits ^ farend.binary_history).astype(I32)          # (100, B)
+        binary_near ^ farend.binary_history).astype(I32)   # (100, B)
 
     bit_count_q9 = bit_counts << 9
     shifts = D.SHIFTS_AT_ZERO - ((D.SHIFTS_LINEAR_SLOPE * farend.bit_counts)
@@ -569,32 +581,61 @@ def _process_fix_f(near: de.NearState, farend: de.FarendState,
 # the CNG RNG/phase lookup is hoisted OUT — see make_fused_chunk_step)
 # ---------------------------------------------------------------------------
 
-def _update_far_history_f(core, far_spectrum, far_q):
-    """core.update_far_history: shift by one packed FAR_HIST_ROWS block
-    (tile-aligned, so the shift is pure vreg copies — no relayout)."""
+def _push_far_pending(ctx, far_spectrum, far_q):
+    """Deferred core.update_far_history: instead of shifting the 4000-row
+    history every slot (a full VMEM pass per slot gated by another
+    whole-leaf per-slot select), new blocks accumulate in a pending list
+    and merge into the history ONCE per frames_step (_far_merge_deferred).
+    Slot activity is monotone, so an active slot s always has exactly s
+    pending predecessors; inactive slots push garbage rows that the
+    n_act-keyed merge never selects."""
     b = far_spectrum.shape[-1]
     pad = jnp.zeros((2 * FAR_HIST_ROWS - D.PART_LEN1, b), I32)
-    new_block = _pack_far_block(
-        jnp.concatenate([far_spectrum, pad], axis=0))
-    hist = jnp.concatenate(
-        [new_block, core.far_history[:-FAR_HIST_ROWS]], axis=0)
-    return core._replace(
-        far_history=hist,
-        far_q_domains=_shift_in(core.far_q_domains, far_q))
+    ctx["pending"].append(_pack_far_block(
+        jnp.concatenate([far_spectrum, pad], axis=0)))
+    ctx["pending_q"].append(far_q)
 
 
-def _aligned_farend_f(core, delay):
-    """core.aligned_farend: one-hot masked sum over the 100 packed history
-    blocks (exactly one matches per lane, so summing the packed words is a
-    select), then unpack the selected block."""
-    b = core.far_history.shape[-1]
-    hist = core.far_history.reshape(D.MAX_DELAY, FAR_HIST_ROWS, b)
-    oh = (jax.lax.broadcasted_iota(I32, (D.MAX_DELAY, 1, 1), 0)
-          == delay.reshape(1, 1, b))
+def _aligned_farend_deferred(ctx, delay):
+    """core.aligned_farend against the deferred view: delay d in this
+    slot (s pending predecessors + this slot's own block) resolves to
+    pending[s - d] for d <= s, else to OLD history block d - s - 1.  The
+    old-history fetch is the usual one-hot masked sum over the 100 packed
+    blocks; the pending overrides are s+1 row selects."""
+    hist_p, q_old = ctx["hist"], ctx["q"]
+    pending, pending_q = ctx["pending"], ctx["pending_q"]
+    s = len(pending) - 1
+    b = hist_p.shape[-1]
+    hist = hist_p.reshape(D.MAX_DELAY, FAR_HIST_ROWS, b)
+    idx_old = delay - (s + 1)
+    in_old = delay < D.MAX_DELAY         # delays 100..100+s must NOT
+    oh = ((jax.lax.broadcasted_iota(I32, (D.MAX_DELAY, 1, 1), 0)
+           == idx_old.reshape(1, 1, b)) & in_old.reshape(1, 1, b))
     packed = jnp.sum(jnp.where(oh, hist, 0), axis=0)
+    far_q = _sum0(jnp.where(
+        (_iota_col(D.MAX_DELAY) == idx_old) & in_old, q_old, 0))
+    for j in range(s + 1):
+        hit = delay == j
+        packed = jnp.where(hit, pending[s - j], packed)
+        far_q = jnp.where(hit, pending_q[s - j], far_q)
     xfa = _unpack_far_block(packed)[:D.PART_LEN1]
-    far_q = _select_row_at(core.far_q_domains, delay)
     return xfa, far_q
+
+
+def _far_merge_deferred(hist, pending, n_act, rows: int):
+    """Merge S pending blocks into the (M*rows, B) newest-first history:
+    lanes with n_act = m get [pending[m-1] .. pending[0], old[:M-m]].
+    One concat + S whole-width selects over statically-shifted views of
+    the padded array, instead of a shift + whole-leaf select per slot."""
+    S = len(pending)
+    total_rows = hist.shape[0]
+    padded = jnp.concatenate(list(reversed(pending)) + [hist], axis=0)
+    out = padded[S * rows:S * rows + total_rows]
+    for m in range(1, S + 1):
+        out = jnp.where(n_act == m,
+                        padded[(S - m) * rows:(S - m) * rows + total_rows],
+                        out)
+    return out
 
 
 def _calc_energies_f(core, far_spectrum, far_q, near_ener):
@@ -974,9 +1015,11 @@ def _calc_step_size_f(core):
 
 def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
                      cos_v, sin_v, mult: int, has_clean: bool,
-                     abs_approx: bool):
+                     abs_approx: bool, far_ctx=None):
     """core.process_block, lane-major; blocks are (64, B).  The RNG seed
-    row passes through untouched (advanced outside the kernel)."""
+    row passes through untouched (advanced outside the kernel), and the
+    far-history update is deferred through far_ctx (pending-list push +
+    old-history fetch; frames_step merges once at the end)."""
     startup_state = jnp.where(
         core.startup_state < 2,
         (core.tot_count >= D.CONV_LEN).astype(I32)
@@ -1011,7 +1054,7 @@ def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
                              dfa_clean_q=core.dfa_noisy_q)
         ptr_dfa_clean = dfa_noisy
 
-    core = _update_far_history_f(core, xfa, far_q)
+    _push_far_pending(far_ctx, xfa, far_q)
     core = core._replace(
         de_farend=_add_far_spectrum_fix_f(core.de_farend, xfa, far_q))
     de_near, delay = _process_fix_f(core.de_near, core.de_farend,
@@ -1020,7 +1063,7 @@ def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
     delay = jnp.where(delay == -2, I32(0), delay)
     delay = jnp.where(core.fixed_delay >= 0, core.fixed_delay, delay)
 
-    far_spectrum, far_q_aligned = _aligned_farend_f(core, delay)
+    far_spectrum, far_q_aligned = _aligned_farend_deferred(far_ctx, delay)
     zeros_x_buf = far_q_aligned
 
     core, echo_est = _calc_energies_f(core, far_spectrum, zeros_x_buf,
@@ -1143,8 +1186,13 @@ def _place_at_fill_f(carry, payload, fill):
 
 
 def _where_tree(mask, new, old):
+    """Per-lane select over a state pytree.  Leaves the slot left
+    untouched (same object in and out of _replace) skip their select —
+    select(p, x, x) is not simplified away by the Mosaic lowering, and
+    the big untouched leaves (e.g. the 4000-row far history once its
+    update is deferred) otherwise cost a full VMEM pass per slot."""
     return jax.tree_util.tree_map(
-        lambda a, b: jnp.where(mask, a, b), new, old)
+        lambda a, b: b if a is b else jnp.where(mask, a, b), new, old)
 
 
 def _n_slots_for(n_frames: int) -> int:
@@ -1263,6 +1311,8 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
                if has_clean else None)
 
     total = fill0 + F * k                           # valid stream samples
+    far_ctx = {"hist": core.far_history, "q": core.far_q_domains,
+               "pending": [], "pending_q": []}
     outs = []
     for s in range(n_slots):
         act = total >= P * (s + 1)
@@ -1271,9 +1321,18 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
             full_far[s * P:(s + 1) * P], full_noi[s * P:(s + 1) * P],
             full_cl[s * P:(s + 1) * P] if has_clean else None,
             cos_all[s * P:(s + 1) * P], sin_all[s * P:(s + 1) * P],
-            mult, has_clean, abs_approx)
+            mult, has_clean, abs_approx, far_ctx)
         core = _where_tree(act, new_core, core)
         outs.append(jnp.where(act, out_b, 0))
+
+    # deferred far-history merge: one pass instead of a shift + whole-
+    # leaf select per slot (n_act = active slots; monotone activity)
+    n_act = total >> 6                              # (1, B)
+    core = core._replace(
+        far_history=_far_merge_deferred(
+            core.far_history, far_ctx["pending"], n_act, FAR_HIST_ROWS),
+        far_q_domains=_far_merge_deferred(
+            core.far_q_domains, far_ctx["pending_q"], n_act, 1))
 
     # in-carry update: rows [64, 128) of the last active frame's work
     # window = stream rows [64*(b_last+1), +64) — reproduces the XLA
@@ -1373,14 +1432,13 @@ def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
     """One ring pass per chunk: wrapped write then a wrapped gather of the
     post-write data.
 
-    The write has a uniform fast path: every stream writes the same
-    (count, position) each chunk — positions only diverge if some streams'
-    rings clamp a partial write while others don't — so in the common case
-    the write is one wrap-folded dynamic-update-slice at a single scalar
-    offset, pure XLA at bandwidth.  A lax.cond falls back to the per-stream
-    Pallas write kernel (~0.33 ms at B=1024) when positions diverge.  The
-    gather offsets genuinely differ per stream (per-stream delays), so the
-    gather always runs the Pallas kernel (~0.1 ms)."""
+    On TPU this is ONE fused Pallas kernel (ops/pallas_ring.ring_pass_tpu)
+    with the ring updated in place: one ring traversal, no lax.cond, no
+    full-ring XLA copies.  (The round-2 design — an XLA uniform-write fast
+    path guarded by lax.cond with a Pallas fallback, plus a separate
+    gather kernel — measured 0.155 ms/chunk at B=1024 in context, almost
+    all of it cond copies and write glue; the fused kernel measures
+    ~0.03 ms and costs the same for uniform and divergent positions.)"""
     from .ops.pallas_ring import STREAM_TILE
     import os
     b, cap = data.shape
@@ -1390,23 +1448,14 @@ def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
                   and not os.environ.get("AECM_DISABLE_PALLAS")
                   and b % STREAM_TILE == 0)
 
-    def write_uniform(d):
-        p0, w0 = wpos[0], n_write[0]
-        dd = jnp.concatenate([d, d[:, :cnt]], axis=-1)
-        window = jax.lax.dynamic_slice(dd, (0, p0), (b, cnt))
-        lanes = jnp.arange(cnt, dtype=I32)[None, :]
-        merged = jnp.where(lanes < w0, vals16, window)
-        dd = jax.lax.dynamic_update_slice(dd, merged, (0, p0))
-        head = jnp.where(lanes < p0 + w0 - cap, dd[:, cap:cap + cnt],
-                         dd[:, :cnt])
-        return jnp.concatenate([head, dd[:, cnt:cap]], axis=-1)
-
+    if use_pallas and cnt == n_read:
+        from .ops.pallas_ring import ring_pass_tpu
+        new_data, gathered = ring_pass_tpu(
+            data, wpos, values, n_write, rpos, n_read)
+        return new_data, gathered.astype(I32)
     if use_pallas:
         from .ops.pallas_ring import ring_gather_tpu, ring_write_tpu
-        uniform = (jnp.all(wpos == wpos[0]) & jnp.all(n_write == n_write[0]))
-        new_data = jax.lax.cond(
-            uniform, write_uniform,
-            lambda d: ring_write_tpu(d, wpos, vals16, n_write), data)
+        new_data = ring_write_tpu(data, wpos, vals16, n_write)
         gathered = ring_gather_tpu(new_data, rpos, n_read)
         return new_data, gathered.astype(I32)
 
@@ -1440,29 +1489,41 @@ def _precompute_cng_phases(core_f, run_rows, n_frames: int):
     Returns (cos_all, sin_all) with shape (n_slots*64, B) lane-major,
     plus the new seed row (1, B).
 
-    Everything runs lane-major ((64, B) LCG rows via the (64, 1) power
-    tables — zero transposes) and all slot lookups batch into ONE
-    int8-MXU table contraction (the lookup dominated the driver at
-    ~0.36 ms/chunk when done per-slot)."""
-    a_np, c_np = spl._lcg_tables(D.PART_LEN)
-    a_col = jnp.asarray(a_np)[:, None]             # (64, 1) uint32
+    Slot activity is monotone (slot s live implies s-1 live), so an
+    ACTIVE slot s always draws from the seed advanced exactly 64*s times:
+    the whole chain is ONE affine-closure op over n_slots*64 draw counts
+    (the per-slot loop cost ~0.05 ms/chunk of glue at B=1024).  Inactive
+    slots' rows come out different from a literally-chained computation
+    (their seed would have stopped advancing) but frames_step discards
+    them via its slot masks, and the stored seed advances 64*n_act draws
+    — bit-identical state.  Masking the seed to 31 bits only at the end
+    is exact: with an odd LCG multiplier a bit-31 discrepancy can never
+    propagate below bit 31 (2^31*a ≡ 2^31 mod 2^32), the same identity
+    spl.rand_u_array relies on.  All slot lookups batch into ONE int8-MXU
+    table contraction (the lookup dominated the driver at ~0.36 ms/chunk
+    when done per-slot)."""
+    n_slots = _n_slots_for(n_frames)
+    a_np, c_np = spl._lcg_tables(n_slots * D.PART_LEN)
+    a_col = jnp.asarray(a_np)[:, None]             # (n_slots*64, 1) uint32
     c_col = jnp.asarray(c_np)[:, None]
 
     seed = core_f.seed                             # (1, B) uint32
     cng = core_f.cng_mode != 0
     k = _sum0(run_rows.astype(I32))                # (1, B)
     total = core_f.frame_fill + D.FRAME_LEN * k
+    n_act = total >> 6                             # (1, B) active slots
 
-    idx_rows = []
-    for s in range(_n_slots_for(n_frames)):
-        act = total >= D.PART_LEN * (s + 1)
-        seeds_n = (a_col * seed + c_col) & U32(spl._LCG_MASK)  # (64, B)
-        rand_w16 = (seeds_n >> U32(16)).astype(I32)
-        idx_rows.append((359 * rand_w16) >> 15)
-        seed = jnp.where(act & cng, seeds_n[-1:], seed)
-    idx_all = jnp.concatenate(idx_rows, axis=0)    # (n_slots*64, B)
+    seeds_all = (a_col * seed + c_col) & U32(spl._LCG_MASK)
+    rand_w16 = (seeds_all >> U32(16)).astype(I32)  # (n_slots*64, B)
+    idx_all = (359 * rand_w16) >> 15
     cos_all, sin_all = core_mod._phase_table_lookup(idx_all)
-    return cos_all, sin_all, seed
+
+    new_seed = seed
+    for v in range(1, n_slots + 1):
+        sel = cng & (n_act >= v)
+        new_seed = jnp.where(
+            sel, seeds_all[v * D.PART_LEN - 1:v * D.PART_LEN], new_seed)
+    return cos_all, sin_all, new_seed
 
 
 def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
@@ -1693,13 +1754,6 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         b = state.ctrl.ec_startup.shape[0]
         if kernel_on and _pick_tile(b) == 0:
             kernel_on = False          # batch not tileable: pure path
-        la_capacity = state.core.de_near.binary_history.shape[0]
-        if la_capacity != 1:
-            raise NotImplementedError(
-                "the fused path covers the AECM delay-estimator "
-                "configuration (lookahead capacity 0); this state was "
-                f"built with max_lookahead={la_capacity - 1} — use the XLA "
-                "path (parallel.batch / AecmPipeline(engine='xla'))")
         t = make_tables()
 
         ctrl, core_f = state.ctrl, state.core

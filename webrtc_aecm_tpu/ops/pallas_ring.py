@@ -76,6 +76,138 @@ def ring_gather_tpu(data, pos, n: int):
     )(pos.astype(I32), data)
 
 
+def _fine_window(n: int) -> int:
+    """Aligned-window width for the narrow gather: covers n lanes at any
+    intra-128 offset (n + 127 lanes), rounded up to a 128 multiple."""
+    return ((n + 127 + 127) // 128) * 128
+
+
+def _pass_width(C: int, n: int) -> int:
+    """Scratch lane width for the fused pass: doubled region [C, C+n)
+    at its natural (unaligned) static offset, plus room for an aligned
+    _fine_window() dynamic slice starting as high as aligned(C)."""
+    W = _fine_window(n)
+    return max(((C + n + 127) // 128) * 128, (C // 128) * 128 + W)
+
+
+def _pass_kernel(n: int, C: int, T: int, wpos_ref, nw_ref, rpos_ref,
+                 data_ref, vals_ref, out_ref, gath_ref, scratch):
+    """Fused wrapped write + post-write wrapped gather in ONE pass.
+
+    Write positions are uniform across streams in the serving steady
+    state (every stream writes the same (count, position) per chunk; they
+    only diverge when some stream's ring clamps a partial write), so the
+    write is ONE block-level aligned read-modify-write in doubled
+    coordinates — vectorized over the whole stream tile, ~free — with a
+    per-stream @pl.when fixup that rebuilds a divergent stream's row from
+    the still-intact input block (roll + mask, as _write_kernel).  The
+    gather offsets genuinely differ per stream (per-stream delays), so
+    the gather is per-stream, but on a narrow 128-aligned dynamic window
+    (W = _fine_window lanes) instead of a full-ring-width roll.  Replaces
+    the round-2 lax.cond(XLA-uniform-write) + separate gather kernel
+    (0.155 ms/chunk in context at B=1024; this kernel ~0.06)."""
+    i = pl.program_id(0)
+    P = _pass_width(C, n)
+    W = _fine_window(n)
+    laneW = jax.lax.broadcasted_iota(I32, (1, W), 1)
+    lane2 = jax.lax.broadcasted_iota(I32, (1, P), 1)
+    lanen = laneW[:, :n]
+    scratch[:, :C] = data_ref[:].astype(I32)
+    scratch[:, C:C + n] = data_ref[:, :n].astype(I32)
+    if P > C + n:
+        scratch[:, C + n:] = jnp.zeros((T, P - C - n), I32)
+
+    # --- uniform block write at stream 0's (position, count) ---
+    p0 = wpos_ref[0]
+    w0 = nw_ref[0]
+    p1a = pl.multiple_of((p0 // 128) * 128, 128)
+    d1 = p0 - p1a
+    vblk = jnp.concatenate(
+        [vals_ref[:].astype(I32), jnp.zeros((T, W - n), I32)], axis=1)
+    placed = pltpu.roll(vblk, d1, axis=1)
+    win = scratch[:, pl.ds(p1a, W)]
+    scratch[:, pl.ds(p1a, W)] = jnp.where(
+        (laneW >= d1) & (laneW < d1 + w0), placed, win)
+    # fold the wrapped tail onto the head, and mirror the (possibly
+    # head-written) region back into [C, C+n) for the gather
+    spill0 = p0 + w0 - C
+    head = jnp.where(lanen < spill0, scratch[:, C:C + n], scratch[:, :n])
+    scratch[:, :n] = head
+    scratch[:, C:C + n] = head
+
+    for s in range(T):
+        g = i * T + s
+        p = wpos_ref[g]
+        w = nw_ref[g]
+
+        @pl.when((p != p0) | (w != w0))
+        def _divergent_fixup():
+            # rebuild this stream's row from the untouched input block
+            vrow = jnp.concatenate(
+                [vals_ref[s, :].reshape(1, n).astype(I32),
+                 jnp.zeros((1, P - n), I32)], axis=1)
+            placed2 = pltpu.roll(vrow, p, axis=1)
+            mask2 = (lane2 >= p) & (lane2 < p + w)
+            row = data_ref[s, :].reshape(1, C).astype(I32)
+            new_row = jnp.where(mask2[:, :C], placed2[:, :C], row)
+            head_s = jnp.where(mask2[:, C:C + n], placed2[:, C:C + n],
+                               new_row[:, :n])
+            scratch[s, :n] = head_s[0]
+            scratch[s, n:C] = new_row[0, n:]
+            scratch[s, C:C + n] = head_s[0]
+
+    out_ref[:, :] = scratch[:, :C].astype(out_ref.dtype)
+    for s in range(T):
+        r = rpos_ref[i * T + s]
+        r1a = pl.multiple_of((r // 128) * 128, 128)
+        d = r - r1a
+        gwin = scratch[s, pl.ds(r1a, W)].reshape(1, W)
+        rolled = pltpu.roll(gwin, jax.lax.rem(W - d, W), axis=1)
+        gath_ref[s, :] = rolled[0, :n].astype(gath_ref.dtype)
+
+
+def ring_pass_tpu(data, wpos, values, n_write, rpos, n_read: int):
+    """Write values[:n_write] at wpos into each (B, C) row, then gather
+    n_read lanes at rpos from the POST-WRITE row — one fused kernel, data
+    updated in place (input_output_aliases).  Requires n_read == values
+    width (the serving step's case).  Returns (new_data, gathered)."""
+    import os
+    B, C = data.shape
+    n = values.shape[-1]
+    assert n == n_read, (n, n_read)
+    T = int(os.environ.get("AECM_RING_PASS_TILE", "16"))
+    if B % T != 0:
+        T = STREAM_TILE
+    assert B % T == 0
+    alias = not os.environ.get("AECM_RING_PASS_NOALIAS")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, C), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, _pass_width(C, n)), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_pass_kernel, n, C, T),
+        out_shape=[jax.ShapeDtypeStruct((B, C), data.dtype),
+                   jax.ShapeDtypeStruct((B, n), data.dtype)],
+        grid_spec=grid_spec,
+        **(dict(input_output_aliases={3: 0}) if alias else {}),
+    )(wpos.astype(I32), n_write.astype(I32), rpos.astype(I32), data,
+      values.astype(I32))
+
+
 def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
                   out_ref, scratch):
     i = pl.program_id(0)
