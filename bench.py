@@ -46,6 +46,9 @@ def main() -> None:
     chunk = rate // 100
     n_streams = int(os.environ.get("AECM_BENCH_STREAMS", "4096"))
     audio_s = float(os.environ.get("AECM_BENCH_AUDIO_S", "1.0"))
+    # Superchunk depth (10 ms chunks fused per kernel call); bit-identical
+    # for any value — throughput/latency trade only.  0 = engine default.
+    cps = int(os.environ.get("AECM_BENCH_CPS", "0")) or None
     n_chunks = int(audio_s * 100)
     n_samples = n_chunks * chunk
 
@@ -70,7 +73,8 @@ def main() -> None:
     # path as one Pallas kernel per chunk (webrtc_aecm_tpu/fused.py),
     # bit-exact with the XLA path and the C oracle.
     state0 = fused.create_fused(n_streams, rate)
-    run = jax.jit(lambda s, f, d: fused.run_streams_fused(s, f, d, rate, 40))
+    run = jax.jit(lambda s, f, d: fused.run_streams_fused(
+        s, f, d, rate, 40, chunks_per_step=cps))
 
     # Warmup: compile + one full run (also converges NLMS once).
     compiled = run.lower(state0, far, near).compile()
