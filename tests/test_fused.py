@@ -139,6 +139,35 @@ def test_fused_lookahead_state_matches_xla_path():
                         mutate=_with_lookahead)
 
 
+def test_fused_deep_delay_circular_history():
+    """An echo delayed ~70 blocks forces the aligned-farend fetch deep
+    into the far history — in the circular storage order this reads far
+    behind the rotating head, across its wrap (the head wraps every 20
+    super-steps at 16 kHz).  Bit-exact with the XLA path's newest-first
+    history."""
+    fs, B, n_chunks = 16000, 4, 60
+    chunk = 160
+    n = n_chunks * chunk
+    rng = np.random.default_rng(13)
+    far = rng.integers(-12000, 12000, (B, n)).astype(np.int32)
+    delay_samples = 70 * 64          # 70 blocks = 280 ms
+    near = np.zeros_like(far)
+    near[:, delay_samples:] = (0.4 * far[:, :-delay_samples]).astype(
+        np.int32)
+    near += rng.integers(-200, 200, near.shape).astype(np.int32)
+    ms = np.full((n_chunks, B), 300, np.int32)   # large sndcard buffer
+
+    st = pbatch.create_batch(B, fs)
+    ref_state, ref_out = jax.jit(
+        lambda s, f, d: pbatch.run_streams(s, f, d, fs, jnp.asarray(ms)))(
+        st, jnp.asarray(far), jnp.asarray(near))
+    fin, out = jax.jit(lambda s, f, d: fused.run_streams_fused(
+        s, f, d, fs, jnp.asarray(ms), use_kernel=False))(
+        fused.create_fused(B, fs), jnp.asarray(far), jnp.asarray(near))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    _assert_tree_equal(fused.from_fused_state(fin), ref_state)
+
+
 def test_fused_chunks_per_step_variants_identical():
     """chunks_per_step is a pure scheduling knob: 1 == 2 == 4 (and the
     XLA path) at 8 kHz, where the 4-chunk span is exactly 5 blocks."""

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from parity_artifact import record  # noqa: E402  (tools/parity_artifact.py)
 
 
-def _scene(fs, B, n_chunks, with_clean):
+def _scene(fs, B, n_chunks, with_clean, echo_delay_blocks=0):
     chunk = min(160, fs // 100)
     n = n_chunks * chunk
     rng = np.random.default_rng(0)
@@ -37,7 +37,16 @@ def _scene(fs, B, n_chunks, with_clean):
     ff = (env * rng.normal(0, 3000, t.shape)).clip(-30000, 30000)
     far = np.stack([ff[640 - 5 * (b % 64):640 - 5 * (b % 64) + n]
                     for b in range(B)]).astype(np.int16)
-    near = (0.4 * far + rng.normal(0, 150, far.shape)
+    if echo_delay_blocks:
+        # deep echo path: the aligned-farend fetch reads ~echo_delay_blocks
+        # behind the newest far block (circular-history wrap coverage)
+        d = echo_delay_blocks * 64
+        echo = np.zeros_like(far)
+        echo[:, d:] = far[:, :-d]
+        far_src = echo
+    else:
+        far_src = far
+    near = (0.4 * far_src + rng.normal(0, 150, far.shape)
             ).clip(-32000, 32000).astype(np.int16)
     clean = None
     if with_clean:
@@ -56,14 +65,16 @@ def _scene(fs, B, n_chunks, with_clean):
 
 
 def check(fs: int, with_clean: bool, chunks_per_step=None,
-          n_chunks: int = 150, lookahead_cap: int = 1) -> str:
+          n_chunks: int = 150, lookahead_cap: int = 1,
+          echo_delay_blocks: int = 0) -> str:
     import jax
     import jax.numpy as jnp
     from webrtc_aecm_tpu import fused
     from webrtc_aecm_tpu.parallel import batch as pbatch
 
     B = 256
-    far, near, clean, ms = _scene(fs, B, n_chunks, with_clean)
+    far, near, clean, ms = _scene(fs, B, n_chunks, with_clean,
+                                  echo_delay_blocks)
     cj = None if clean is None else jnp.asarray(clean, jnp.int32)
 
     def make_state():
@@ -100,6 +111,8 @@ def check(fs: int, with_clean: bool, chunks_per_step=None,
     desc = (f"{fs} Hz {'dual-input' if with_clean else 'single-input'} "
             f"cps={chunks_per_step or 'default'} "
             + (f"lookahead_cap={lookahead_cap} " if lookahead_cap > 1 else "")
+            + (f"echo_delay={echo_delay_blocks}blk "
+               if echo_delay_blocks else "")
             + f"({B} streams x {n_chunks} chunks)")
     print(f"fused kernel == XLA path @ {desc}: outputs + full state "
           f"bit-exact")
@@ -121,6 +134,8 @@ def main():
              n_chunks=60),                            # real-time step path
         dict(fs=16000, with_clean=False, n_chunks=60,
              lookahead_cap=4),                        # reconfigured DE
+        dict(fs=16000, with_clean=False, n_chunks=60,
+             echo_delay_blocks=70),                   # deep circular fetch
     ]
     done = []
     try:

@@ -601,19 +601,37 @@ def _aligned_farend_deferred(ctx, delay):
     slot (s pending predecessors + this slot's own block) resolves to
     pending[s - d] for d <= s, else to OLD history block d - s - 1.  The
     old-history fetch is the usual one-hot masked sum over the 100 packed
-    blocks; the pending overrides are s+1 row selects."""
+    blocks; the pending overrides are s+1 row selects.
+
+    Two storage orders for the old history: newest-first (legacy,
+    ctx["head0"] is None) or circular (block written when the global head
+    was p lives at row-group p; "idx_old blocks before the newest old
+    block" is row-group (head0 - 1 - idx_old) mod 100).  The circular
+    order makes the history append a tiny uniform dynamic_update_slice
+    OUTSIDE the kernel instead of a whole-array merge inside it."""
     hist_p, q_old = ctx["hist"], ctx["q"]
     pending, pending_q = ctx["pending"], ctx["pending_q"]
     s = len(pending) - 1
     b = hist_p.shape[-1]
     hist = hist_p.reshape(D.MAX_DELAY, FAR_HIST_ROWS, b)
     idx_old = delay - (s + 1)
-    in_old = delay < D.MAX_DELAY         # delays 100..100+s must NOT
+    head0 = ctx.get("head0")
+    if head0 is None:
+        in_old = delay < D.MAX_DELAY     # delays 100..100+s must NOT
+        tgt = idx_old
+    else:
+        in_old = (delay < D.MAX_DELAY) & (idx_old >= 0)
+        # (head0 - 1 - idx_old) mod 100 without an integer-division mod:
+        # head0 in [0, 100), idx_old masked >= 0, so one conditional
+        # subtract suffices (out-of-range garbage for idx_old < 0 never
+        # matches because in_old gates the one-hot).
+        tgt = head0 + (D.MAX_DELAY - 1) - idx_old
+        tgt = jnp.where(tgt >= D.MAX_DELAY, tgt - D.MAX_DELAY, tgt)
     oh = ((jax.lax.broadcasted_iota(I32, (D.MAX_DELAY, 1, 1), 0)
-           == idx_old.reshape(1, 1, b)) & in_old.reshape(1, 1, b))
+           == tgt.reshape(1, 1, b)) & in_old.reshape(1, 1, b))
     packed = jnp.sum(jnp.where(oh, hist, 0), axis=0)
     far_q = _sum0(jnp.where(
-        (_iota_col(D.MAX_DELAY) == idx_old) & in_old, q_old, 0))
+        (_iota_col(D.MAX_DELAY) == tgt) & in_old, q_old, 0))
     for j in range(s + 1):
         hit = delay == j
         packed = jnp.where(hit, pending[s - j], packed)
@@ -1262,7 +1280,7 @@ def _emit_frame_f(core, produced, two_blocks, run_mask):
 def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
                 cos_all, sin_all, run_rows, mult: int, n_frames: int,
                 has_clean: bool, abs_approx: bool = False,
-                frames_per_chunk: int = 1):
+                frames_per_chunk: int = 1, far_head=None):
     """The full n_frames-frame core path, lane-major, as a slot-major
     block schedule over the concatenated sample stream.
 
@@ -1312,7 +1330,7 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
 
     total = fill0 + F * k                           # valid stream samples
     far_ctx = {"hist": core.far_history, "q": core.far_q_domains,
-               "pending": [], "pending_q": []}
+               "pending": [], "pending_q": [], "head0": far_head}
     outs = []
     for s in range(n_slots):
         act = total >= P * (s + 1)
@@ -1325,14 +1343,22 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
         core = _where_tree(act, new_core, core)
         outs.append(jnp.where(act, out_b, 0))
 
-    # deferred far-history merge: one pass instead of a shift + whole-
-    # leaf select per slot (n_act = active slots; monotone activity)
-    n_act = total >> 6                              # (1, B)
-    core = core._replace(
-        far_history=_far_merge_deferred(
-            core.far_history, far_ctx["pending"], n_act, FAR_HIST_ROWS),
-        far_q_domains=_far_merge_deferred(
-            core.far_q_domains, far_ctx["pending_q"], n_act, 1))
+    if far_head is None:
+        # deferred far-history merge: one pass instead of a shift + whole-
+        # leaf select per slot (n_act = active slots; monotone activity)
+        n_act = total >> 6                          # (1, B)
+        core = core._replace(
+            far_history=_far_merge_deferred(
+                core.far_history, far_ctx["pending"], n_act, FAR_HIST_ROWS),
+            far_q_domains=_far_merge_deferred(
+                core.far_q_domains, far_ctx["pending_q"], n_act, 1))
+    else:
+        # circular mode: the history leaves pass through UNTOUCHED (the
+        # kernel never writes them back to HBM); the pending blocks ride
+        # out as extra outputs and the caller appends them with one
+        # uniform dynamic_update_slice at the global head.
+        pend_hist = jnp.concatenate(far_ctx["pending"], axis=0)
+        pend_q = jnp.concatenate(far_ctx["pending_q"], axis=0)
 
     # in-carry update: rows [64, 128) of the last active frame's work
     # window = stream rows [64*(b_last+1), +64) — reproduces the XLA
@@ -1369,7 +1395,10 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
         core, out_f = _emit_frame_f(
             core, jnp.concatenate([first, second], axis=0), two_f, run_f)
         out_frames.append(out_f)
-    return core, jnp.concatenate(out_frames, axis=0)
+    out_all = jnp.concatenate(out_frames, axis=0)
+    if far_head is not None:
+        return core, out_all, pend_hist, pend_q
+    return core, out_all
 
 
 # ---------------------------------------------------------------------------
@@ -1529,8 +1558,13 @@ def _precompute_cng_phases(core_f, run_rows, n_frames: int):
 def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
                         cos_all, sin_all, run_rows, mult: int,
                         n_frames: int, has_clean: bool, abs_approx: bool,
-                        frames_per_chunk: int = 1):
-    """Run frames_step inside one pallas_call, grid over 128-lane tiles."""
+                        frames_per_chunk: int = 1, far_head=None):
+    """Run frames_step inside one pallas_call, grid over 128-lane tiles.
+
+    With far_head (circular far history, (1, B)): the two history leaves
+    are INPUT-ONLY — the kernel never writes their ~16 KB/stream back to
+    HBM — and the pending far blocks come out as two small extra outputs
+    for the caller's dynamic_update_slice append."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1539,9 +1573,32 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
     assert lane_tile, f"batch {b} not a multiple of 128"
     leaves, treedef = jax.tree_util.tree_flatten(core_f)
     t_leaves = list(t)
+    circular = far_head is not None
+    if circular:
+        # flat-leaf indices of the two read-only history leaves (by field
+        # position — object identity is unreliable under tracing CSE)
+        ro_idx, pos = set(), 0
+        for name, val in core_f._asdict().items():
+            nl = len(jax.tree_util.tree_leaves(val))
+            if name in ("far_history", "far_q_domains"):
+                assert nl == 1
+                ro_idx.add(pos)
+            pos += nl
+        # input-leaf k -> position among the kernel's state OUTPUTS
+        # (history leaves are skipped: read-only in circular mode)
+        out_pos, w = [], 0
+        for k in range(len(leaves)):
+            out_pos.append(None if k in ro_idx else w)
+            w += out_pos[-1] is not None
+        n_state_out = w
+        n_slots = _n_slots_for(n_frames)
+    else:
+        out_pos = list(range(len(leaves)))
+        n_state_out = len(leaves)
 
     data_in = [far_lm, noisy_lm] + ([clean_lm] if has_clean else []) + [
-        cos_all, sin_all, run_rows.astype(I32)]
+        cos_all, sin_all, run_rows.astype(I32)] + (
+        [far_head] if circular else [])
     n_tables = len(t_leaves)
     n_data = len(data_in)
 
@@ -1561,15 +1618,24 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
         clean_v = dd[2] if has_clean else None
         ci = 3 if has_clean else 2
         cos_v, sin_v, run_v = dd[ci], dd[ci + 1], dd[ci + 2]
+        head_v = dd[ci + 3] if circular else None
 
-        core_out, out = frames_step(core_vals, tt, far_v, noisy_v, clean_v,
-                                    cos_v, sin_v, run_v != 0, mult,
-                                    n_frames, has_clean, abs_approx,
-                                    frames_per_chunk)
+        res = frames_step(core_vals, tt, far_v, noisy_v, clean_v,
+                          cos_v, sin_v, run_v != 0, mult,
+                          n_frames, has_clean, abs_approx,
+                          frames_per_chunk, far_head=head_v)
+        if circular:
+            core_out, out, pend_hist, pend_q = res
+        else:
+            core_out, out = res
         out_ref[:] = out
-        for r, v in zip(so_refs,
-                        jax.tree_util.tree_leaves(core_out)):
-            r[:] = v
+        new_leaves = jax.tree_util.tree_leaves(core_out)
+        for k, v in enumerate(new_leaves):
+            if out_pos[k] is not None:
+                so_refs[out_pos[k]][:] = v
+        if circular:
+            so_refs[n_state_out][:] = pend_hist
+            so_refs[n_state_out + 1][:] = pend_q
 
     def tile_spec(x):
         return pl.BlockSpec((x.shape[0], lane_tile),
@@ -1583,12 +1649,24 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
                 + [tile_spec(x) for x in data_in]
                 + [tile_spec(x) for x in leaves])
     out_len_rows = n_frames * D.FRAME_LEN
+    state_out = [x for k, x in enumerate(leaves) if out_pos[k] is not None]
     out_shapes = ([jax.ShapeDtypeStruct((out_len_rows, b), I32)]
-                  + [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves])
+                  + [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                     for x in state_out])
     out_specs = ([pl.BlockSpec((out_len_rows, lane_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)]
-                 + [tile_spec(x) for x in leaves])
-    aliases = {n_tables + n_data + k: 1 + k for k in range(len(leaves))}
+                 + [tile_spec(x) for x in state_out])
+    if circular:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_slots * FAR_HIST_ROWS, b), I32),
+            jax.ShapeDtypeStruct((n_slots, b), I32)]
+        out_specs += [
+            pl.BlockSpec((n_slots * FAR_HIST_ROWS, lane_tile),
+                         lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_slots, lane_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)]
+    aliases = {n_tables + n_data + k: 1 + out_pos[k]
+               for k in range(len(leaves)) if out_pos[k] is not None}
 
     res = pl.pallas_call(
         kernel,
@@ -1603,7 +1681,12 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*(t_leaves + data_in + leaves))
     out = res[0]
-    core_out = jax.tree_util.tree_unflatten(treedef, list(res[1:]))
+    state_new = list(res[1:1 + n_state_out])
+    core_out = jax.tree_util.tree_unflatten(
+        treedef, [leaves[k] if out_pos[k] is None else state_new[out_pos[k]]
+                  for k in range(len(leaves))])
+    if circular:
+        return core_out, out, res[1 + n_state_out], res[2 + n_state_out]
     return core_out, out
 
 
@@ -1611,7 +1694,8 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                           use_kernel: Optional[bool] = None,
                           abs_approx: bool = False,
                           lane_major_io: bool = False,
-                          chunks_per_step: int = 1):
+                          chunks_per_step: int = 1,
+                          circular_far: bool = False):
     """One serving step of `chunks_per_step` × 10 ms on FusedState.
 
     Drop-in equivalent of parallel.batch.make_chunk_step, bit-exact with
@@ -1633,6 +1717,16 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
     (the offline driver hoists the layout transposes out of its scan).
     ms is a scalar, (B,), or (chunks_per_step, B).  warn is (B,) for
     chunks_per_step == 1, else (chunks_per_step, B).
+
+    circular_far (offline-driver mode, run_streams_fused only): the far
+    history is stored CIRCULARLY with a global head the caller threads
+    through — step signature becomes (state, head, far, noisy[, clean],
+    ms) -> (state, head', out, warn).  Requires an exact-block schedule
+    (chunks_per_step*out_len a multiple of PART_LEN, block count dividing
+    MAX_DELAY) so every fully-running stream produces the same block
+    count per step; streams that start mid-step are suffix-aligned into
+    the head window (gap-before-first-block = zeros = the reference's
+    zero-initialized history).  Bit-exact with the default mode.
     """
     mult = sample_rate // 8000
     out_len = min(160, sample_rate // 100)
@@ -1641,6 +1735,17 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
     est_idx = 0 if sample_rate == 8000 else 1
     cps = chunks_per_step
     n_frames = fpc * cps
+    if circular_far:
+        if (n_frames * D.FRAME_LEN) % D.PART_LEN:
+            raise ValueError(
+                "circular_far needs an exact-block schedule "
+                f"({n_frames} frames = {n_frames * D.FRAME_LEN} samples "
+                f"is not a multiple of {D.PART_LEN})")
+        s_blocks = (n_frames * D.FRAME_LEN) // D.PART_LEN
+        if D.MAX_DELAY % s_blocks:
+            raise ValueError(
+                f"circular_far needs the per-step block count "
+                f"({s_blocks}) to divide MAX_DELAY ({D.MAX_DELAY})")
 
     def ctrl_chunk(ctrl: CtrlState, far_c, ms_c):
         """The exact per-10 ms control sequence (echo_control_mobile.cc):
@@ -1747,7 +1852,7 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                          "first_val", "buf_size_start")})
         return ctrl, frames_far, run, in_startup, warn
 
-    def _step_impl(state: FusedState, far, noisy, clean, ms_in):
+    def _step_impl(state: FusedState, far, noisy, clean, ms_in, head=None):
         kernel_on = use_kernel
         if kernel_on is None:
             kernel_on = jax.default_backend() == "tpu"
@@ -1792,14 +1897,51 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
             noisy_lm = to_lm(noisy)
             clean_lm = to_lm(clean) if has_clean else None
 
+        fill0 = core_f.frame_fill          # (1, B), pre-kernel
+        head_row = (jnp.broadcast_to(jnp.asarray(head, I32), (1, b))
+                    if circular_far else None)
+
         if kernel_on:
-            core_f, out_lm = _frames_kernel_call(
+            res = _frames_kernel_call(
                 core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
-                run_rows, mult, n_frames, has_clean, abs_approx, fpc)
+                run_rows, mult, n_frames, has_clean, abs_approx, fpc,
+                far_head=head_row)
         else:
-            core_f, out_lm = frames_step(
+            res = frames_step(
                 core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
-                run_rows, mult, n_frames, has_clean, abs_approx, fpc)
+                run_rows, mult, n_frames, has_clean, abs_approx, fpc,
+                far_head=head_row)
+
+        if circular_far:
+            core_f, out_lm, pend_hist, pend_q = res
+            # Suffix-align streams that started mid-step: their n_act < S
+            # pending blocks shift to the END of the head window so their
+            # timeline stays consecutive backwards from the head (rows
+            # left uncovered = zeros = the reference's initial history).
+            S = s_blocks
+            k_act = _sum0(run_rows.astype(I32))
+            n_act = (fill0 + D.FRAME_LEN * k_act) >> 6       # (1, B)
+            rot = S - n_act
+            ph, pq = pend_hist, pend_q
+            for r in range(1, S + 1):
+                zh = jnp.zeros((r * FAR_HIST_ROWS, b), I32)
+                cand_h = jnp.concatenate(
+                    [zh, pend_hist[:(S - r) * FAR_HIST_ROWS]], axis=0)
+                cand_q = jnp.concatenate(
+                    [jnp.zeros((r, b), I32), pend_q[:S - r]], axis=0)
+                ph = jnp.where(rot == r, cand_h, ph)
+                pq = jnp.where(rot == r, cand_q, pq)
+            head_s = jnp.asarray(head, I32)
+            core_f = core_f._replace(
+                far_history=jax.lax.dynamic_update_slice(
+                    core_f.far_history, ph, (head_s * FAR_HIST_ROWS, 0)),
+                far_q_domains=jax.lax.dynamic_update_slice(
+                    core_f.far_q_domains, pq, (head_s, 0)))
+            head_next = head_s + S
+            head_next = jnp.where(head_next >= D.MAX_DELAY,
+                                  head_next - D.MAX_DELAY, head_next)
+        else:
+            core_f, out_lm = res
 
         # --- per-chunk startup passthrough (the reference passes the
         # clean input through when provided, echo_control_mobile.cc:289) ---
@@ -1816,15 +1958,49 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                                  ).transpose(2, 0, 1).reshape(
                 -1, n_frames * D.FRAME_LEN)
         warn = warns[0] if cps == 1 else jnp.stack(warns, axis=0)
-        return FusedState(ctrl=ctrl, core=core_f), out, warn
+        new_state = FusedState(ctrl=ctrl, core=core_f)
+        if circular_far:
+            return new_state, head_next, out, warn
+        return new_state, out, warn
 
-    if has_clean:
+    if circular_far:
+        if has_clean:
+            def step(state, head, far, noisy, clean, ms_in_sndcard_buf):
+                return _step_impl(state, far, noisy, clean,
+                                  ms_in_sndcard_buf, head=head)
+        else:
+            def step(state, head, far, noisy, ms_in_sndcard_buf):
+                return _step_impl(state, far, noisy, None,
+                                  ms_in_sndcard_buf, head=head)
+    elif has_clean:
         def step(state, far, noisy, clean, ms_in_sndcard_buf):
             return _step_impl(state, far, noisy, clean, ms_in_sndcard_buf)
     else:
         def step(state, far, noisy, ms_in_sndcard_buf):
             return _step_impl(state, far, noisy, None, ms_in_sndcard_buf)
     return step
+
+
+def _to_circular_far(core_f):
+    """Newest-first far history -> circular order at head 0 (a block-
+    granular flip: head 0 means the next write lands at row-group 0, so
+    the newest existing block sits at row-group MAX_DELAY-1)."""
+    b = core_f.far_history.shape[-1]
+    h3 = core_f.far_history.reshape(D.MAX_DELAY, FAR_HIST_ROWS, b)
+    return core_f._replace(
+        far_history=jnp.flip(h3, axis=0).reshape(-1, b),
+        far_q_domains=jnp.flip(core_f.far_q_domains, axis=0))
+
+
+def _from_circular_far(core_f, head):
+    """Circular order at `head` -> newest-first: nf[d] =
+    circ[(head - 1 - d) mod MAX_DELAY] = flip(roll(circ, -head))."""
+    b = core_f.far_history.shape[-1]
+    h3 = core_f.far_history.reshape(D.MAX_DELAY, FAR_HIST_ROWS, b)
+    h3 = jnp.flip(jnp.roll(h3, D.MAX_DELAY - head, axis=0), axis=0)
+    q = jnp.flip(jnp.roll(core_f.far_q_domains, D.MAX_DELAY - head,
+                          axis=0), axis=0)
+    return core_f._replace(far_history=h3.reshape(-1, b), far_q_domains=q)
 
 
 def run_streams_fused(state: FusedState, far, near, sample_rate: int,
@@ -1872,14 +2048,39 @@ def run_streams_fused(state: FusedState, far, near, sample_rate: int,
             (hi - lo) // c, c * chunk, n_streams)
 
     def run_span(st, lo, hi, c):
+        # circular far history whenever the span's schedule is exact-block
+        # (the serving defaults are: 2 chunks @ 16 kHz / 4 @ 8 kHz = 5
+        # blocks): the kernel stops carrying the ~16 KB/stream history
+        # through every step — see make_fused_chunk_step(circular_far=...)
+        circ = ((c * chunk) % D.PART_LEN == 0
+                and D.MAX_DELAY % ((c * chunk) // D.PART_LEN) == 0)
         stepc = make_fused_chunk_step(sample_rate, has_clean=has_clean,
                                       use_kernel=use_kernel,
                                       lane_major_io=True,
-                                      chunks_per_step=c)
+                                      chunks_per_step=c,
+                                      circular_far=circ)
         xs = [seg_tm(far, lo, hi, c), seg_lm(near, lo, hi, c)]
         if has_clean:
             xs.append(seg_lm(clean, lo, hi, c))
         xs.append(ms_t[lo:hi].reshape((hi - lo) // c, c, n_streams))
+
+        if circ:
+            st = st._replace(core=_to_circular_far(st.core))
+
+            def scan_fn_c(carry, x):
+                s, h = carry
+                if has_clean:
+                    f, d, cl, m = x
+                    s, h, out, _ = stepc(s, h, f, d, cl, m)
+                else:
+                    f, d, m = x
+                    s, h, out, _ = stepc(s, h, f, d, m)
+                return (s, h), out
+
+            (st, head), outs = jax.lax.scan(
+                scan_fn_c, (st, jnp.asarray(0, I32)), tuple(xs))
+            st = st._replace(core=_from_circular_far(st.core, head))
+            return st, outs.reshape((hi - lo) * chunk, n_streams)
 
         def scan_fn(s, x):
             if has_clean:

@@ -183,20 +183,28 @@ def div_u32_u16(num, den):
 
 
 def sqrt_floor(value):
-    """WebRtcSpl_SqrtFloor (signal_processing_library.cc:84-105).
+    """WebRtcSpl_SqrtFloor (signal_processing_library.cc:84-105):
+    floor(sqrt(value)) for value >= 0, and 0 for negative values (the
+    reference's comparisons all fail on negatives, leaving root 0).
 
-    16-step successive approximation, vectorized: each of the 16 iterations
-    is an elementwise select, unrolled at trace time.
+    f32 sqrt + exact integer correction instead of the reference's 16-step
+    successive approximation: ~7 elementwise ops instead of ~100.  Exact
+    over the full int32 domain: through convert + sqrt the f32 estimate
+    carries < 0.01 absolute error at the max root 46340 (2 ulp sqrt +
+    2^-24 convert), so truncation lands within +/-1 of the true floor and
+    one uint32-square comparison in each direction pins it ((r+1) <= 46341,
+    so the squares fit in uint32).  Verified exhaustively over all 2^31
+    non-negative inputs against the 16-step implementation on both the
+    TPU and CPU backends (tools/verify_sqrt.py).
     """
-    value = value.astype(I32)
-    root = jnp.zeros_like(value)
-    for n in range(15, -1, -1):
-        try1 = root + (1 << n)
-        shifted = (try1.astype(U32) << U32(n)).astype(I32)
-        take = value >= shifted
-        value = jnp.where(take, value - shifted, value)
-        root = jnp.where(take, root | (2 << n), root)
-    return root >> 1
+    v = jnp.maximum(value.astype(I32), 0)
+    vu = v.astype(U32)
+    r = jnp.sqrt(v.astype(jnp.float32)).astype(I32)
+    ru = r.astype(U32)
+    r = jnp.where((ru + U32(1)) * (ru + U32(1)) <= vu, r + 1, r)
+    ru = r.astype(U32)
+    r = jnp.where(ru * ru > vu, r - 1, r)
+    return r
 
 
 def max_abs_value_w16(vector):
