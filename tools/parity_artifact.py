@@ -20,8 +20,11 @@ PATH = os.path.join(REPO, "PARITY.json")
 
 def record(gate: str, ok: bool, configs, **extra) -> None:
     try:
+        # --dirty so the artifact pins the tree actually tested, not just
+        # the last commit (advisor round-4: gates had run on a dirty tree
+        # and the artifact silently pointed at the pre-change base).
         commit = subprocess.run(
-            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            ["git", "-C", REPO, "describe", "--always", "--dirty"],
             capture_output=True, text=True).stdout.strip()
     except Exception:
         commit = "unknown"

@@ -1918,6 +1918,14 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
             # pending blocks shift to the END of the head window so their
             # timeline stays consecutive backwards from the head (rows
             # left uncovered = zeros = the reference's initial history).
+            # INVARIANT (one-shot activation): this alignment assumes a
+            # stream with n_act < S has NO prior history (run flips 0->1
+            # exactly once, at AECM init, and never back — the control
+            # machine has no de-activation path).  A stream that ran a
+            # partial step *after* already accumulating history would get
+            # zero blocks spliced between its new and old blocks.  Any
+            # future control-path change that can pause a started stream
+            # must also rework this merge.
             S = s_blocks
             k_act = _sum0(run_rows.astype(I32))
             n_act = (fill0 + D.FRAME_LEN * k_act) >> 6       # (1, B)
