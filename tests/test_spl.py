@@ -44,6 +44,68 @@ def test_div_u32_u16_matches_reference():
     np.testing.assert_array_equal(ours, theirs)
 
 
+def test_div_fast_exact():
+    """The f32-refinement division core == true integer division over
+    adversarial inputs: every 16-bit den crossed with quotient-boundary
+    numerators (k*den - 1, k*den, k*den + 1 for extreme and random k),
+    extreme numerators, plus a large random sweep.  Guards the exactness
+    claim in spl._div_u32_u16_core's error budget."""
+    rng = np.random.default_rng(7)
+    dens = np.arange(1, 65536, dtype=np.uint64)
+    n = len(dens)
+    numerators = []
+    denominators = []
+    # quotient boundaries around random and extreme quotients
+    for kind in range(6):
+        if kind == 0:
+            k = (2**32 - 1) // dens          # max quotient
+        elif kind == 1:
+            k = rng.integers(0, 2**31, n).astype(np.uint64) % (
+                (2**32 - 1) // dens + 1)
+        elif kind == 2:
+            k = np.minimum((2**32 - 1) // dens, 1)
+        elif kind == 3:
+            k = np.minimum((2**32 - 1) // dens, 2**16 - 1)
+        elif kind == 4:
+            k = np.minimum((2**32 - 1) // dens, 2**24 + 1)
+        else:
+            k = ((2**32 - 1) // dens) // 2
+        base = k * dens
+        for off in (-1, 0, 1):
+            v = base.astype(np.int64) + off
+            ok = (v >= 0) & (v <= 2**32 - 1)
+            numerators.append(v[ok].astype(np.uint64))
+            denominators.append(dens[ok])
+    # plain random sweep
+    numerators.append(rng.integers(0, 2**32, 10**6).astype(np.uint64))
+    denominators.append(rng.integers(1, 2**16, 10**6).astype(np.uint64))
+    num = np.concatenate(numerators)
+    den = np.concatenate(denominators)
+    got = np.asarray(spl.div_u32_u16(jnp.asarray(num, jnp.uint32),
+                                     jnp.asarray(den, jnp.uint32)),
+                     dtype=np.uint64)
+    np.testing.assert_array_equal(got, num // den)
+
+    # signed wrapper: trunc-toward-zero across all sign combinations
+    num_s = rng.integers(-2**31, 2**31, 10**5)
+    den_s = rng.integers(-32768, 32768, 10**5)
+    den_s[den_s == 0] = 1
+    def trunc_div(n_, d_):      # exact C trunc division in int64
+        return np.sign(n_) * np.sign(d_) * (np.abs(n_) // np.abs(d_))
+
+    got_s = np.asarray(spl.div_w32_w16(jnp.asarray(num_s, jnp.int32),
+                                       jnp.asarray(den_s, jnp.int32)),
+                       dtype=np.int64)
+    np.testing.assert_array_equal(got_s, trunc_div(num_s, den_s))
+    # int32-min numerator edges
+    edge_n = np.array([-2**31, -2**31, -2**31 + 1, 2**31 - 1], np.int64)
+    edge_d = np.array([3, -32768, -1, 7], np.int64)
+    got_e = np.asarray(spl.div_w32_w16(jnp.asarray(edge_n, jnp.int32),
+                                       jnp.asarray(edge_d, jnp.int32)),
+                       dtype=np.int64)
+    np.testing.assert_array_equal(got_e, trunc_div(edge_n, edge_d))
+
+
 def _ref_norm_w32(a):
     if a == 0:
         return 0

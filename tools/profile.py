@@ -287,7 +287,8 @@ def cmd_fused():
     """
     import subprocess
     all_modes = ["full", "nofft", "nodelay", "noalign", "nohist",
-                 "nochan", "nocng", "noenerg", "noop"]
+                 "nochan", "nocng", "noenerg", "nodiv", "nowhere",
+                 "noemit", "noop"]
     modes = [sys.argv[2]] if len(sys.argv) > 2 else all_modes
     if modes[0] == "_run":
         _fused_one(sys.argv[3])
@@ -330,6 +331,24 @@ def _fused_one(mode: str):
     elif mode == "noenerg":
         fused._calc_energies_f = (
             lambda core, fs, fq, ne: (core, core.channel_stored * fs))
+    elif mode == "nodiv":
+        # Integer divisions have no TPU vector op; stub every SPL division
+        # with shifts to measure the whole division budget in the kernel
+        # (update_channel's per-bin /(i+1), the Wiener ratio, step size,
+        # suppression gain).
+        from webrtc_aecm_tpu.ops import spl
+        spl.div_trunc = lambda num, den: num.astype(jnp.int32) >> 3
+        spl.div_w32_w16 = lambda num, den: num.astype(jnp.int32) >> 3
+        spl.div_u32_u16 = (
+            lambda num, den: num.astype(jnp.uint32) >> jnp.uint32(3))
+    elif mode == "nowhere":
+        # Per-slot whole-state activity selects (the _where_tree cost).
+        fused._where_tree = lambda mask, new, old: new
+    elif mode == "noemit":
+        # Frame-output attribution + 80-sample emit machinery.
+        fused._emit_frame_f = (
+            lambda core, produced, two_blocks, run_mask:
+            (core, produced[:80]))
     elif mode == "noop":
         def frames_noop(core, t, far, noisy, clean, cos_all, sin_all, run,
                         mult, n_frames, has_clean, abs_approx=False,
@@ -433,7 +452,7 @@ def _driver_one(mode: str):
     elif mode == "nokernel":
         def kc_stub(core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
                     run_rows, mult, n_frames, has_clean, abs_approx,
-                    frames_per_chunk=1):
+                    frames_per_chunk=1, far_head=None):
             return (core_f._replace(tot_count=core_f.tot_count + 1),
                     noisy_lm[:n_frames * 80] & 0x7FFF)
         fused._frames_kernel_call = kc_stub

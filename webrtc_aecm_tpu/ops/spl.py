@@ -66,14 +66,13 @@ def add_sat_w32(a, b):
 
 
 def clz32(x):
-    """WebRtcSpl_CountLeadingZeros32 (spl_inl.h:40-47): leading zeros of u32."""
-    y = x.astype(U32)
-    y = y | (y >> 1)
-    y = y | (y >> 2)
-    y = y | (y >> 4)
-    y = y | (y >> 8)
-    y = y | (y >> 16)
-    return (32 - jax.lax.population_count(y).astype(I32)).astype(I32)
+    """WebRtcSpl_CountLeadingZeros32 (spl_inl.h:40-47): leading zeros of u32.
+
+    `lax.clz` is a single native op on every backend we run (XLA CPU/TPU
+    and Mosaic inside Pallas kernels — probed on v5e); the smear+popcount
+    chain it replaces was 11 VPU ops, paid at (65, B) several times per
+    block in update_channel/energies.  clz(0) = 32 on both paths."""
+    return jax.lax.clz(x.astype(U32)).astype(I32)
 
 
 def norm_w32(a):
@@ -167,11 +166,83 @@ def div_trunc(num, den):
     return jnp.where(adjust, q + 1, q)
 
 
+def _u32_to_f32(x):
+    """Exact-as-possible uint32 -> float32 (one rounding, <= 2^-24 rel):
+    hi/lo 16-bit halves convert exactly; the one add rounds.  Avoids
+    uitofp, which Mosaic does not lower for the full uint32 range."""
+    x = x.astype(U32)
+    hi = (x >> U32(16)).astype(I32).astype(jnp.float32)
+    lo = (x & U32(0xFFFF)).astype(I32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
+def _div_u32_u16_core(num, den):
+    """floor(num / den) exactly, num uint32 (full range), den uint16 >= 1.
+
+    TPU has no vector integer divide (a lowered `//` costs dozens of ops
+    and dominated the kernel's update_channel/Wiener stages); this is an
+    f32 estimate plus exact integer refinement, in the style of
+    sqrt_floor.  Error budget (generous — holds even if the f32 divide is
+    only ~4-ulp faithful, as a reciprocal+Newton lowering may be):
+
+      q0 = trunc(f32(num) / f32(den)): rel err <= ~6*2^-24 (one convert
+           rounding + a few-ulp divide) + 1 truncation ->
+           |q0 - q| <= 2^32 * 6 * 2^-24 + 1 < 1538.
+      r0 = num - q0*den exactly (mod-2^32 int arithmetic; |r0| <=
+           1538*65535 + 65534 < 2^31 so its int32 reading is exact).
+      q1 = q0 + trunc(f32(r0) / f32(den)): f32(r0) abs err <= |r0|*2^-24
+           <= 6.1; divide/round rel err on a <=1539 quotient is < 0.01;
+           -> |q1 - q| <= 6.1/den + 1.02 + trunc(1) < 9.
+      r1 = num - q1*den (|r1| <= 10*65535, exact in f32), one more
+           refinement -> |q2 - q| <= 10*2^-24*... + trunc rounding <= 1,
+           pinned exactly by one correction step in each direction.
+
+    Verified against `//` over structured edge cases and random inputs
+    (tests/test_spl.py::test_div_fast_exact).
+    """
+    num = num.astype(U32)
+    # den == 1 bypasses the core: its quotient (= num) can exceed int32,
+    # overflowing the f32 -> i32 conversions below.  With den >= 2 every
+    # intermediate q estimate stays within int32 (q <= 2^31 - 1 + 1538).
+    den2 = jnp.maximum(den.astype(I32), I32(2))
+    den_f = den2.astype(jnp.float32)                  # exact: den < 2^24
+    recip = jnp.float32(1.0) / den_f
+
+    # Clamp below 2^31 before the f32->i32 convert: at den=2 the true
+    # quotient reaches 2^31 - 1 and the estimate's f32 neighbor is 2^31,
+    # whose conversion is implementation-defined.  The clamp costs at most
+    # 127 extra initial error — absorbed by the refinement budget.  (Later
+    # estimates may wrap int32 by <= 9; all remainder arithmetic is mod
+    # 2^32 so congruence keeps the refinement exact.)
+    q0f = jnp.minimum(_u32_to_f32(num) * recip, jnp.float32(2147483520.0))
+    q = q0f.astype(I32)                               # trunc toward zero
+    # two exact-remainder refinements (all int arithmetic wraps mod 2^32)
+    for _ in range(2):
+        r = (num - q.astype(U32) * den2.astype(U32)).astype(I32)
+        q = q + (r.astype(jnp.float32) * recip).astype(I32)
+    # final +/-1 correction (see error budget)
+    r = (num - q.astype(U32) * den2.astype(U32)).astype(I32)
+    q = jnp.where(r < 0, q - 1, q)
+    r = jnp.where(r < 0, r + den2, r)
+    q = jnp.where(r >= den2, q + 1, q)
+    return jnp.where(den.astype(I32) == 1, num, q.astype(U32))
+
+
 def div_w32_w16(num, den):
-    """WebRtcSpl_DivW32W16 (signal_processing_library.cc:116-123)."""
+    """WebRtcSpl_DivW32W16 (signal_processing_library.cc:116-123):
+    trunc(num/den) for int32 num, int16-range den; WORD32_MAX on den==0.
+
+    Sign-factored over the unsigned fast core (|num| <= 2^31 fits uint32,
+    |den| <= 32768 fits uint16).  trunc(num/den) = sign * floor(|num|/|den|).
+    """
+    num = num.astype(I32)
     den = den.astype(I32)
     safe = jnp.where(den == 0, I32(1), den)
-    return jnp.where(den == 0, I32(WORD32_MAX), div_trunc(num, safe))
+    neg = (num < 0) != (safe < 0)
+    q = _div_u32_u16_core(jnp.abs(num).astype(U32),
+                          jnp.abs(safe).astype(U32)).astype(I32)
+    q = jnp.where(neg, -q, q)
+    return jnp.where(den == 0, I32(WORD32_MAX), q)
 
 
 def div_u32_u16(num, den):
@@ -179,7 +250,8 @@ def div_u32_u16(num, den):
     num = num.astype(U32)
     den = den.astype(U32)
     safe = jnp.where(den == 0, U32(1), den)
-    return jnp.where(den == 0, U32(0xFFFFFFFF), num // safe)
+    return jnp.where(den == 0, U32(0xFFFFFFFF),
+                     _div_u32_u16_core(num, safe))
 
 
 def sqrt_floor(value):
