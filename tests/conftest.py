@@ -23,3 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert jax.device_count() == 8
+
+# Persistent XLA compile cache (local-only, .gitignored): XLA-CPU compiles
+# of the big fused/scan graphs dominate suite wall time on this 1-core box,
+# and tests that build fresh make_chunk_step/make_fused_chunk_step closures
+# recompile IDENTICAL HLO (the in-memory jit cache is per-function-object).
+# The persistent cache dedups by HLO hash — across tests and across runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -144,8 +144,12 @@ def test_fused_deep_delay_circular_history():
     into the far history — in the circular storage order this reads far
     behind the rotating head, across its wrap (the head wraps every 20
     super-steps at 16 kHz).  Bit-exact with the XLA path's newest-first
-    history."""
-    fs, B, n_chunks = 16000, 4, 60
+    history.  46 chunks = 23 super-steps: the physical head wrap lands at
+    super-step 20, leaving 3 post-wrap super-steps of delay-70 fetches
+    reading across the row-0 boundary (the minimum that crosses the
+    boundary with converged-deep-delay data; the 120-chunk soak tier
+    covers long-run behavior)."""
+    fs, B, n_chunks = 16000, 4, 46
     chunk = 160
     n = n_chunks * chunk
     rng = np.random.default_rng(13)
@@ -290,7 +294,7 @@ def test_fused_per_stream_config_and_abs_approx():
     """Per-stream cng/echo-mode and the abs_approx option through the
     fused path == the XLA path (config parity beyond the defaults)."""
     from webrtc_aecm_tpu.parallel import batch as pbatch
-    fs, B, n_chunks = 8000, 8, 60
+    fs, B, n_chunks = 8000, 8, 30
     far, near = _scene(fs, B, n_chunks, seed=7)
     cng = np.arange(B, dtype=np.int32) % 2
     mode = np.arange(B, dtype=np.int32) % 5
