@@ -18,7 +18,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"   # no-op under the axon plugin, but
+import jax                            # harmless elsewhere; the config
+jax.config.update("jax_platforms", "cpu")  # update is what actually works
 
 import numpy as np
 

@@ -350,9 +350,9 @@ def _fused_one(mode: str):
             lambda core, produced, two_blocks, run_mask:
             (core, produced[:80]))
     elif mode == "noop":
-        def frames_noop(core, t, far, noisy, clean, cos_all, sin_all, run,
+        def frames_noop(core, t, far, noisy, clean, phase_all, run,
                         mult, n_frames, has_clean, abs_approx=False,
-                        frames_per_chunk=1):
+                        frames_per_chunk=1, far_head=None):
             return (core._replace(tot_count=core.tot_count + 1),
                     far[:n_frames * 80])
         fused.frames_step = frames_noop
@@ -365,13 +365,13 @@ def _fused_one(mode: str):
     mk = lambda r: jnp.asarray(
         rng.integers(-20000, 20000, (r, B)), jnp.int32)
     far_lm, noisy_lm = mk(n_frames * 80), mk(n_frames * 80)
-    cos_all, sin_all = mk(n_slots * 64), mk(n_slots * 64)
+    phase_all = mk(n_slots * 64)
     run_rows = jnp.ones((n_frames, B), bool)
 
     def scan_kernel(c0):
         def body(c, _):
             c, out = fused._frames_kernel_call(
-                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_rows,
+                c, t, far_lm, noisy_lm, None, phase_all, run_rows,
                 mult, n_frames, False, False, 2)
             return c, out[:1]
         return jax.lax.scan(body, c0, None, length=n_chunks)
@@ -393,12 +393,12 @@ def cmd_driver():
     ring pass, the CNG precompute, the chunk kernel — to split the
     per-chunk wall time into kernel / ring / control+glue.
 
-    Modes (argv[2] or all): full noring nogather oldring nocng
+    Modes (argv[2] or all): full noring onepass oldring nocng
     nokernel.  Each runs in a fresh subprocess (monkeypatch + jit cache).
     Env: B (default 1024), RATE (16000), CPS (2), ITERS (50 super-steps).
     """
     import subprocess
-    all_modes = ["full", "noring", "nogather", "oldring", "nocng",
+    all_modes = ["full", "noring", "onepass", "oldring", "nocng",
                  "nokernel"]
     modes = [sys.argv[2]] if len(sys.argv) > 2 else all_modes
     if modes[0] == "_run":
@@ -424,13 +424,21 @@ def _driver_one(mode: str):
     chunk = min(160, rate // 100)
 
     if mode == "noring":
-        fused._ring_write_gather = (
+        fused._ring_write_gather_multi = (
             lambda data, wpos, values, nw, rpos, n:
-            (data, values[:, :n].astype(I32)))
-    elif mode == "nogather":
-        from webrtc_aecm_tpu.ops import pallas_ring
-        pallas_ring.ring_gather_tpu = (
-            lambda data, pos, n: data[:, :n].astype(I32))
+            (data, values.astype(I32)))
+    elif mode == "onepass":
+        # the round-4 scheme: one fused ring pass PER CHUNK (vs the
+        # multi-chunk single pass) — measures the multi-pass win
+        def per_chunk(data, wpos, values, nw, rpos, n):
+            outs = []
+            for c in range(wpos.shape[0]):
+                data, g = fused._ring_write_gather(
+                    data, wpos[c], values[:, c * n:(c + 1) * n],
+                    nw[c], rpos[c], n)
+                outs.append(g)
+            return data, jnp.concatenate(outs, axis=1)
+        fused._ring_write_gather_multi = per_chunk
     elif mode == "oldring":
         # the round-2 scheme: separate per-stream write + gather kernels
         from webrtc_aecm_tpu.ops import pallas_ring as pr
@@ -439,13 +447,20 @@ def _driver_one(mode: str):
             vals16 = values.astype(data.dtype)
             new_data = pr.ring_write_tpu(data, wpos, vals16, nw)
             return new_data, pr.ring_gather_tpu(new_data, rpos, n).astype(I32)
-        fused._ring_write_gather = separate
+
+        def per_chunk_sep(data, wpos, values, nw, rpos, n):
+            outs = []
+            for c in range(wpos.shape[0]):
+                data, g = separate(
+                    data, wpos[c], values[:, c * n:(c + 1) * n],
+                    nw[c], rpos[c], n)
+                outs.append(g)
+            return data, jnp.concatenate(outs, axis=1)
+        fused._ring_write_gather_multi = per_chunk_sep
     elif mode == "nocng":
         # keep shapes, drop the LCG/table work: stub the whole precompute
         fused._precompute_cng_phases = (
             lambda core_f, run_rows, n_frames: (
-                jnp.zeros((fused._n_slots_for(n_frames) * 64,
-                           core_f.seed.shape[-1]), I32),
                 jnp.zeros((fused._n_slots_for(n_frames) * 64,
                            core_f.seed.shape[-1]), I32),
                 core_f.seed))
@@ -514,14 +529,14 @@ def cmd_roofline():
     mk = lambda r: jnp.asarray(
         rng.integers(-20000, 20000, (r, B)), jnp.int32)
     far_lm, noisy_lm = mk(n_frames * 80), mk(n_frames * 80)
-    cos_all, sin_all = mk(n_slots * 64), mk(n_slots * 64)
+    phase_all = mk(n_slots * 64)
     run_rows = jnp.ones((n_frames, B), bool)
     n_chunks = 100
 
     def scan_kernel(c0):
         def body(c, _):
             c, out = fused._frames_kernel_call(
-                c, t, far_lm, noisy_lm, None, cos_all, sin_all, run_rows,
+                c, t, far_lm, noisy_lm, None, phase_all, run_rows,
                 mult, n_frames, False, False, fpc)
             return c, out[:1]
         return jax.lax.scan(body, c0, None, length=n_chunks)
@@ -537,7 +552,7 @@ def cmd_roofline():
     nbytes = lambda tree: sum(
         x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
     state_b = nbytes(core_f)
-    audio_in = nbytes([far_lm, noisy_lm, cos_all, sin_all]) + run_rows.size * 4
+    audio_in = nbytes([far_lm, noisy_lm, phase_all]) + run_rows.size * 4
     audio_out = n_frames * 80 * B * 4
     lane_tile = fused._pick_tile(B)
     table_b = nbytes(list(t)) * (B // lane_tile)   # re-read per grid program

@@ -42,9 +42,11 @@ _COS_360 = jnp.asarray(tables.COS_TABLE_360)
 _SIN_360 = jnp.asarray(tables.SIN_TABLE_360)
 _BIN_INDEX = jnp.arange(D.PART_LEN1, dtype=I32)
 
-# 360-entry Q13 tables reshaped (24, 15) for the bilinear lookup below.
+# 360-entry Q13 tables reshaped (24, 15) for the bilinear lookup below,
+# and concatenated (24, 30) [cos | sin] so ONE matmul pair serves both.
 _COS_360_2D = jnp.asarray(tables.COS_TABLE_360, I32).reshape(24, 15)
 _SIN_360_2D = jnp.asarray(tables.SIN_TABLE_360, I32).reshape(24, 15)
+_COSSIN_2D = jnp.concatenate([_COS_360_2D, _SIN_360_2D], axis=1)  # (24, 30)
 
 
 def _phase_table_lookup(idx):
@@ -53,7 +55,9 @@ def _phase_table_lookup(idx):
     A vmapped dynamic gather costs ~0.5 ms flat per op on TPU; instead,
     with idx = 15*h + l (360 = 24*15), the lookup is
     onehot_h @ T picking row h (an int8 MXU matmul), then a 15-wide masked
-    sum picking column l.
+    sum picking column l.  The cos and sin tables share the SAME one-hot
+    (both are indexed by idx), so they are looked up as one concatenated
+    (24, 30) table: two matmuls total (hi/lo planes) instead of four.
 
     Exactness: the Q13 values are split v = hi*128 + lo with hi in
     [-64, 64] and lo in [0, 127] — both int8 — and int8 x int8 -> int32
@@ -69,16 +73,15 @@ def _phase_table_lookup(idx):
     oh_l = l[..., None] == jnp.arange(15, dtype=I32)
     dims = (((oh_h.ndim - 1,), (0,)), ((), ()))
 
-    def lut(table):
-        hi = (table >> 7).astype(jnp.int8)
-        lo = (table & 127).astype(jnp.int8)
-        rows = (jax.lax.dot_general(oh_h, hi, dims,
-                                    preferred_element_type=I32) * 128
-                + jax.lax.dot_general(oh_h, lo, dims,
-                                      preferred_element_type=I32))
-        return jnp.sum(jnp.where(oh_l, rows, 0), axis=-1)
-
-    return lut(_COS_360_2D), lut(_SIN_360_2D)
+    hi = (_COSSIN_2D >> 7).astype(jnp.int8)
+    lo = (_COSSIN_2D & 127).astype(jnp.int8)
+    rows = (jax.lax.dot_general(oh_h, hi, dims,
+                                preferred_element_type=I32) * 128
+            + jax.lax.dot_general(oh_h, lo, dims,
+                                  preferred_element_type=I32))
+    cos_v = jnp.sum(jnp.where(oh_l, rows[..., :15], 0), axis=-1)
+    sin_v = jnp.sum(jnp.where(oh_l, rows[..., 15:], 0), axis=-1)
+    return cos_v, sin_v
 
 
 class Options(NamedTuple):

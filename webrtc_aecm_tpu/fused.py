@@ -956,12 +956,15 @@ def _inverse_fft_and_window_f(core, efw_re, efw_im, has_clean: bool,
     return core, output
 
 
-def _comfort_noise_f(core, dfa, efw_re, efw_im, lam, cos_v, sin_v):
-    """core.comfort_noise, lane-major; cos_v/sin_v (64, B) are the phase
-    table values for this block's RNG draws, computed OUTSIDE the kernel
-    (the seed chain is state known before the kernel runs; the table
-    gather uses the proven int8-MXU lookup in XLA).  The seed state update
-    also happens outside."""
+def _comfort_noise_f(core, dfa, efw_re, efw_im, lam, phase_v):
+    """core.comfort_noise, lane-major; phase_v (64, B) int32 packs this
+    block's phase table values (Q13 cos in the low 16 bits, sin in the
+    high 16) for the RNG draws, computed OUTSIDE the kernel (the seed
+    chain is state known before the kernel runs; the table gather uses
+    the proven int8-MXU lookup in XLA).  The seed state update also
+    happens outside."""
+    cos_v = spl.to_w16(phase_v)          # sign-extend low 16
+    sin_v = phase_v >> 16                # arithmetic: sign-correct
     shift_noise = D.NOISE_EST_Q_DOMAIN - core.dfa_clean_q
     fast = core.noise_est_ctr < 100
     noise_est_ctr = jnp.where(fast, core.noise_est_ctr + 1,
@@ -1032,7 +1035,7 @@ def _calc_step_size_f(core):
 
 
 def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
-                     cos_v, sin_v, mult: int, has_clean: bool,
+                     phase_v, mult: int, has_clean: bool,
                      abs_approx: bool, far_ctx=None):
     """core.process_block, lane-major; blocks are (64, B).  The RNG seed
     row passes through untouched (advanced outside the kernel), and the
@@ -1172,7 +1175,7 @@ def _process_block_f(core, t: Tables, farend, nearend_noisy, nearend_clean,
 
     cng_core, cng_re, cng_im = _comfort_noise_f(core, ptr_dfa_clean,
                                                 efw_re, efw_im, hnl,
-                                                cos_v, sin_v)
+                                                phase_v)
     use_cng = core.cng_mode != 0
     core = core._replace(**{
         f: jnp.where(use_cng, getattr(cng_core, f), getattr(core, f))
@@ -1278,7 +1281,7 @@ def _emit_frame_f(core, produced, two_blocks, run_mask):
 
 
 def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
-                cos_all, sin_all, run_rows, mult: int, n_frames: int,
+                phase_all, run_rows, mult: int, n_frames: int,
                 has_clean: bool, abs_approx: bool = False,
                 frames_per_chunk: int = 1, far_head=None):
     """The full n_frames-frame core path, lane-major, as a slot-major
@@ -1292,8 +1295,9 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
     slots: e.g. a 4-frame 8 kHz span runs 5 slots (1.25 blocks/frame
     exactly) instead of 8, and a 2-frame 16 kHz chunk runs 3 (2.5 avg).
 
-    far/noisy/clean_frames: (n_frames*80, B); cos/sin_all:
-    (n_slots*64, B) per-SLOT CNG phase rows; run_rows: (n_frames, B)
+    far/noisy/clean_frames: (n_frames*80, B); phase_all:
+    (n_slots*64, B) per-SLOT packed CNG phase rows (cos low 16 / sin
+    high 16); run_rows: (n_frames, B)
     bool, non-decreasing along the frame axis (startup only ever ends)
     and constant within each frames_per_chunk group (one 10 ms chunk
     shares its startup decision).  Bit-exact with the frame-major XLA
@@ -1305,7 +1309,7 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
     F, P = D.FRAME_LEN, D.PART_LEN
     n = n_frames
     n_slots = _n_slots_for(n)
-    assert cos_all.shape[0] == n_slots * P, (cos_all.shape, n_slots)
+    assert phase_all.shape[0] == n_slots * P, (phase_all.shape, n_slots)
     fill0 = core.frame_fill                         # (1, B)
     k = _sum0(run_rows.astype(I32))                 # (1, B) active frames
     run_last = run_rows[n - 1:n]                    # (1, B): k > 0
@@ -1338,7 +1342,7 @@ def frames_step(core, t: Tables, far_frames, noisy_frames, clean_frames,
             core, t,
             full_far[s * P:(s + 1) * P], full_noi[s * P:(s + 1) * P],
             full_cl[s * P:(s + 1) * P] if has_clean else None,
-            cos_all[s * P:(s + 1) * P], sin_all[s * P:(s + 1) * P],
+            phase_all[s * P:(s + 1) * P],
             mult, has_clean, abs_approx, far_ctx)
         core = _where_tree(act, new_core, core)
         outs.append(jnp.where(act, out_b, 0))
@@ -1496,6 +1500,36 @@ def _ring_write_gather(data, wpos, values, n_write, rpos, n_read: int):
     return new_data, gathered.astype(I32)
 
 
+def _ring_write_gather_multi(data, wpos, values, n_write, rpos,
+                             n_read: int):
+    """cps stacked ring passes in one kernel (write chunk c, gather chunk
+    c, in order): wpos/n_write/rpos (cps, B), values (B, cps*n_read).
+    On TPU this is ONE Pallas kernel streaming the ring through VMEM once
+    per super-step instead of once per chunk (ops/pallas_ring.
+    ring_multi_pass_tpu); elsewhere it loops the single-chunk pass, so
+    wrap semantics live in one place.  Returns (new_data, gathered
+    (B, cps*n_read) int32)."""
+    from .ops.pallas_ring import STREAM_TILE
+    import os
+    b = data.shape[0]
+    cps = wpos.shape[0]
+    use_pallas = (jax.default_backend() == "tpu"
+                  and not os.environ.get("AECM_DISABLE_PALLAS")
+                  and b % STREAM_TILE == 0)
+    if use_pallas:
+        from .ops.pallas_ring import ring_multi_pass_tpu
+        new_data, gathered = ring_multi_pass_tpu(
+            data, wpos, values, n_write, rpos, n_read)
+        return new_data, gathered.astype(I32)
+    outs = []
+    for c in range(cps):
+        data, g = _ring_write_gather(
+            data, wpos[c], values[:, c * n_read:(c + 1) * n_read],
+            n_write[c], rpos[c], n_read)
+        outs.append(g)
+    return data, jnp.concatenate(outs, axis=1)
+
+
 def _startup_ctrl(ctrl: CtrlState, n_blocks_10ms: int, mult: int):
     """control._startup_machine on the batched CtrlState (shared
     implementation)."""
@@ -1515,8 +1549,10 @@ def _precompute_cng_phases(core_f, run_rows, n_frames: int):
     is on (core.comfort_noise + process_block's use_cng select), where
     slot activity mirrors frames_step's stream schedule — slot s is live
     iff fill0 + 80*k >= 64*(s+1) (k = active frames per run_rows).
-    Returns (cos_all, sin_all) with shape (n_slots*64, B) lane-major,
-    plus the new seed row (1, B).
+    Returns phase_all (n_slots*64, B) lane-major int32 with the Q13 cos
+    value packed in the low 16 bits and sin in the high 16 (halves the
+    kernel-input DMA and the XLA-side output materialization vs two
+    separate rows), plus the new seed row (1, B).
 
     Slot activity is monotone (slot s live implies s-1 live), so an
     ACTIVE slot s always draws from the seed advanced exactly 64*s times:
@@ -1546,17 +1582,18 @@ def _precompute_cng_phases(core_f, run_rows, n_frames: int):
     rand_w16 = (seeds_all >> U32(16)).astype(I32)  # (n_slots*64, B)
     idx_all = (359 * rand_w16) >> 15
     cos_all, sin_all = core_mod._phase_table_lookup(idx_all)
+    phase_all = (cos_all & 0xFFFF) | (sin_all << 16)
 
     new_seed = seed
     for v in range(1, n_slots + 1):
         sel = cng & (n_act >= v)
         new_seed = jnp.where(
             sel, seeds_all[v * D.PART_LEN - 1:v * D.PART_LEN], new_seed)
-    return cos_all, sin_all, new_seed
+    return phase_all, new_seed
 
 
 def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
-                        cos_all, sin_all, run_rows, mult: int,
+                        phase_all, run_rows, mult: int,
                         n_frames: int, has_clean: bool, abs_approx: bool,
                         frames_per_chunk: int = 1, far_head=None):
     """Run frames_step inside one pallas_call, grid over 128-lane tiles.
@@ -1597,7 +1634,7 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
         n_state_out = len(leaves)
 
     data_in = [far_lm, noisy_lm] + ([clean_lm] if has_clean else []) + [
-        cos_all, sin_all, run_rows.astype(I32)] + (
+        phase_all, run_rows.astype(I32)] + (
         [far_head] if circular else [])
     n_tables = len(t_leaves)
     n_data = len(data_in)
@@ -1617,11 +1654,11 @@ def _frames_kernel_call(core_f, t: Tables, far_lm, noisy_lm, clean_lm,
         far_v, noisy_v = dd[0], dd[1]
         clean_v = dd[2] if has_clean else None
         ci = 3 if has_clean else 2
-        cos_v, sin_v, run_v = dd[ci], dd[ci + 1], dd[ci + 2]
-        head_v = dd[ci + 3] if circular else None
+        phase_v, run_v = dd[ci], dd[ci + 1]
+        head_v = dd[ci + 2] if circular else None
 
         res = frames_step(core_vals, tt, far_v, noisy_v, clean_v,
-                          cos_v, sin_v, run_v != 0, mult,
+                          phase_v, run_v != 0, mult,
                           n_frames, has_clean, abs_approx,
                           frames_per_chunk, far_head=head_v)
         if circular:
@@ -1747,13 +1784,15 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                 f"circular_far needs the per-step block count "
                 f"({s_blocks}) to divide MAX_DELAY ({D.MAX_DELAY})")
 
-    def ctrl_chunk(ctrl: CtrlState, far_c, ms_c):
-        """The exact per-10 ms control sequence (echo_control_mobile.cc):
-        delay comp, jitter-ring write, sndcard clamp, startup machine,
-        per-frame availability + EstBufDelay, one ring data pass, underrun
-        replay, startup-field merge — pointer math in XLA, data moves in
-        the ring kernels.  Returns (ctrl, far frames, run, in_startup,
-        warn)."""
+    def ctrl_chunk_ptr(ctrl: CtrlState, ms_c):
+        """The exact per-10 ms control sequence (echo_control_mobile.cc),
+        POINTER phase: delay comp, jitter-ring write pointer, sndcard
+        clamp, startup machine, per-frame availability + EstBufDelay,
+        underrun replay, startup-field merge — all pointer math in XLA.
+        The ring DATA pass is deferred: all chunks of a super-step share
+        ONE multi-chunk Pallas pass (the ring used to stream through VMEM
+        once per chunk; now once per step).  Returns (ctrl, (write_pos,
+        n_write, read_pos), haves, run, in_startup, warn)."""
         # --- BufferFarend: delay comp + write POINTER math; the ring data
         # pass itself is deferred and fused with the frame reads into one
         # streaming kernel (three full-ring passes/chunk were the dominant
@@ -1816,26 +1855,6 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                        for f in ("filt_delay", "time_for_delay_change",
                                  "known_delay", "last_delay_diff")})
 
-        # --- the single ring data pass: write this chunk's far frame(s),
-        # gather the frame window at the enabled-branch read position.
-        # haves[i+1] implies haves[i] (frame i+1's availability check runs
-        # after frame i consumed), so frame i's source is gathered[i*80:]. ---
-        new_ring, gathered = _ring_write_gather(
-            fb.data, write_pos0, far_c, n_write, read_pos0, out_len)
-        ctrl = ctrl._replace(
-            farend_buf=ctrl.farend_buf._replace(data=new_ring))
-        frames_far = []
-        farend_old = ctrl.farend_old
-        for i in range(fpc):
-            old_i = farend_old[:, i, :]
-            farend_i = jnp.where(
-                haves[i][:, None],
-                gathered[:, i * D.FRAME_LEN:(i + 1) * D.FRAME_LEN], old_i)
-            farend_old = farend_old.at[:, i, :].set(
-                jnp.where(run[:, None], farend_i, old_i))
-            frames_far.append(farend_i)
-        ctrl = ctrl._replace(farend_old=farend_old)
-
         # --- startup-owned fields merge from `started` (takes effect
         # before the NEXT chunk's control; the core kernel reads nothing
         # from ctrl, so merging here ≡ the reference's per-call order) ---
@@ -1850,7 +1869,8 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
                for f in ("ec_startup", "check_buff_size",
                          "check_buf_size_ctr", "counter", "sum",
                          "first_val", "buf_size_start")})
-        return ctrl, frames_far, run, in_startup, warn
+        return (ctrl, (write_pos0, n_write, read_pos0), haves, run,
+                in_startup, warn)
 
     def _step_impl(state: FusedState, far, noisy, clean, ms_in, head=None):
         kernel_on = use_kernel
@@ -1865,19 +1885,52 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
         far_b = jnp.asarray(far, I32)
         ms_all = jnp.broadcast_to(jnp.asarray(ms_in, I32), (cps, b))
 
-        frames_far, run_l, startup_l, warns = [], [], [], []
+        # --- pointer phase: the exact per-chunk control sequence, data
+        # pass deferred (positions collected for one multi-chunk kernel) ---
+        ring_data0 = ctrl.farend_buf.data
+        ptrs, haves_l, run_l, startup_l, warns = [], [], [], [], []
         for c in range(cps):
-            ctrl, ff, run_c, in_st_c, warn_c = ctrl_chunk(
-                ctrl, far_b[:, c * out_len:(c + 1) * out_len], ms_all[c])
-            frames_far += ff
+            ctrl, ptr_c, haves_c, run_c, in_st_c, warn_c = ctrl_chunk_ptr(
+                ctrl, ms_all[c])
+            ptrs.append(ptr_c)
+            haves_l.append(haves_c)
             run_l.append(run_c)
             startup_l.append(in_st_c)
             warns.append(warn_c)
+
+        # --- ONE ring data pass for all cps chunks: write chunk c's far
+        # samples, gather chunk c's frame window, in per-chunk order
+        # (chunk c's gather sees writes 0..c exactly like the per-chunk
+        # sequence it replaces) ---
+        new_ring, gathered = _ring_write_gather_multi(
+            ring_data0,
+            jnp.stack([p[0] for p in ptrs]), far_b,
+            jnp.stack([p[1] for p in ptrs]),
+            jnp.stack([p[2] for p in ptrs]), out_len)
+        ctrl = ctrl._replace(
+            farend_buf=ctrl.farend_buf._replace(data=new_ring))
+
+        # --- frame assembly + underrun replay (haves[i+1] implies
+        # haves[i], so frame i's source is gathered[c, i*80:]) ---
+        frames_far = []
+        farend_old = ctrl.farend_old
+        for c in range(cps):
+            run_c, haves_c = run_l[c], haves_l[c]
+            for i in range(fpc):
+                old_i = farend_old[:, i, :]
+                farend_i = jnp.where(
+                    haves_c[i][:, None],
+                    gathered[:, c * out_len + i * D.FRAME_LEN:
+                             c * out_len + (i + 1) * D.FRAME_LEN], old_i)
+                farend_old = farend_old.at[:, i, :].set(
+                    jnp.where(run_c[:, None], farend_i, old_i))
+                frames_far.append(farend_i)
+        ctrl = ctrl._replace(farend_old=farend_old)
         run_rows = jnp.stack(
             [r for r in run_l for _ in range(fpc)], axis=0)  # (n_frames, B)
 
         # --- CNG RNG chain + phase lookups, hoisted pre-kernel ---
-        cos_all, sin_all, new_seed = _precompute_cng_phases(
+        phase_all, new_seed = _precompute_cng_phases(
             core_f, run_rows, n_frames)
         core_f = core_f._replace(seed=new_seed)
 
@@ -1903,12 +1956,12 @@ def make_fused_chunk_step(sample_rate: int, has_clean: bool = False,
 
         if kernel_on:
             res = _frames_kernel_call(
-                core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
+                core_f, t, far_lm, noisy_lm, clean_lm, phase_all,
                 run_rows, mult, n_frames, has_clean, abs_approx, fpc,
                 far_head=head_row)
         else:
             res = frames_step(
-                core_f, t, far_lm, noisy_lm, clean_lm, cos_all, sin_all,
+                core_f, t, far_lm, noisy_lm, clean_lm, phase_all,
                 run_rows, mult, n_frames, has_clean, abs_approx, fpc,
                 far_head=head_row)
 

@@ -208,6 +208,138 @@ def ring_pass_tpu(data, wpos, values, n_write, rpos, n_read: int):
       values.astype(I32))
 
 
+def _multi_pass_kernel(n: int, C: int, T: int, cps: int, wpos_ref, nw_ref,
+                       rpos_ref, data_ref, vals_ref, out_ref, gath_ref,
+                       scratch):
+    """cps consecutive (write chunk c, gather chunk c) ring passes in ONE
+    kernel: the ring streams through VMEM once instead of cps times.
+
+    Ordering matches the per-chunk serving sequence exactly: chunk c's
+    gather sees writes 0..c and nothing later.  The uniform fast path and
+    the divergent @pl.when fixup follow _pass_kernel, with one change
+    forced by multi-chunk: a divergent stream's row can no longer be
+    rebuilt from data_ref alone (earlier chunks' writes are in scratch,
+    and the uniform write of the CURRENT chunk has already corrupted the
+    row), so the fixup REPLAYS all writes 0..c for that stream from the
+    pristine data_ref row — c+1 roll+mask passes, paid only by clamped
+    streams in the rare divergent case.
+
+    Scalar refs are (cps*B,) flattened [c*B + stream]; vals is
+    (B, cps*n) with chunk c's samples in columns [c*n, (c+1)*n); gathered
+    likewise."""
+    i = pl.program_id(0)
+    P = _pass_width(C, n)
+    W = _fine_window(n)
+    Btot = wpos_ref.shape[0] // cps
+    laneW = jax.lax.broadcasted_iota(I32, (1, W), 1)
+    lane2 = jax.lax.broadcasted_iota(I32, (1, P), 1)
+    lanen = laneW[:, :n]
+    scratch[:, :C] = data_ref[:].astype(I32)
+    scratch[:, C:C + n] = data_ref[:, :n].astype(I32)
+    if P > C + n:
+        scratch[:, C + n:] = jnp.zeros((T, P - C - n), I32)
+
+    for c in range(cps):
+        # --- uniform block write at stream 0's (position, count) ---
+        p0 = wpos_ref[c * Btot]
+        w0 = nw_ref[c * Btot]
+        p1a = pl.multiple_of((p0 // 128) * 128, 128)
+        d1 = p0 - p1a
+        vblk = jnp.concatenate(
+            [vals_ref[:, c * n:(c + 1) * n].astype(I32),
+             jnp.zeros((T, W - n), I32)], axis=1)
+        placed = pltpu.roll(vblk, d1, axis=1)
+        win = scratch[:, pl.ds(p1a, W)]
+        scratch[:, pl.ds(p1a, W)] = jnp.where(
+            (laneW >= d1) & (laneW < d1 + w0), placed, win)
+        spill0 = p0 + w0 - C
+        head = jnp.where(lanen < spill0, scratch[:, C:C + n],
+                         scratch[:, :n])
+        scratch[:, :n] = head
+        scratch[:, C:C + n] = head
+
+        for s in range(T):
+            g = i * T + s
+            p = wpos_ref[c * Btot + g]
+            w = nw_ref[c * Btot + g]
+
+            @pl.when((p != p0) | (w != w0))
+            def _divergent_fixup():
+                # replay writes 0..c for this stream from the pristine row
+                row = data_ref[s, :].reshape(1, C).astype(I32)
+                for j in range(c + 1):
+                    pj = wpos_ref[j * Btot + g]
+                    wj = nw_ref[j * Btot + g]
+                    vrow = jnp.concatenate(
+                        [vals_ref[s, j * n:(j + 1) * n
+                                  ].reshape(1, n).astype(I32),
+                         jnp.zeros((1, P - n), I32)], axis=1)
+                    placed2 = pltpu.roll(vrow, pj, axis=1)
+                    mask2 = (lane2 >= pj) & (lane2 < pj + wj)
+                    new_row = jnp.where(mask2[:, :C], placed2[:, :C], row)
+                    head_s = jnp.where(mask2[:, C:C + n],
+                                       placed2[:, C:C + n],
+                                       new_row[:, :n])
+                    row = jnp.concatenate([head_s, new_row[:, n:]], axis=1)
+                scratch[s, :C] = row[0]
+                scratch[s, C:C + n] = row[0, :n]
+
+        # --- chunk c gathers (see writes 0..c) ---
+        for s in range(T):
+            r = rpos_ref[c * Btot + i * T + s]
+            r1a = pl.multiple_of((r // 128) * 128, 128)
+            d = r - r1a
+            gwin = scratch[s, pl.ds(r1a, W)].reshape(1, W)
+            rolled = pltpu.roll(gwin, jax.lax.rem(W - d, W), axis=1)
+            gath_ref[s, c * n:(c + 1) * n] = rolled[0, :n].astype(
+                gath_ref.dtype)
+
+    out_ref[:, :] = scratch[:, :C].astype(out_ref.dtype)
+
+
+def ring_multi_pass_tpu(data, wpos, values, n_write, rpos, n_read: int):
+    """cps stacked ring passes (write then gather per chunk) in one fused
+    kernel — see _multi_pass_kernel.  wpos/n_write/rpos: (cps, B); values:
+    (B, cps*n); returns (new_data, gathered (B, cps*n)).  cps == 1 is
+    exactly ring_pass_tpu's semantics."""
+    import os
+    B, C = data.shape
+    cps = wpos.shape[0]
+    n = values.shape[-1] // cps
+    assert n == n_read, (n, n_read)
+    T = int(os.environ.get("AECM_RING_PASS_TILE", "16"))
+    if B % T != 0:
+        T = STREAM_TILE
+    assert B % T == 0
+    alias = not os.environ.get("AECM_RING_PASS_NOALIAS")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, cps * n), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, C), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, cps * n), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, _pass_width(C, n)), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_multi_pass_kernel, n, C, T, cps),
+        out_shape=[jax.ShapeDtypeStruct((B, C), data.dtype),
+                   jax.ShapeDtypeStruct((B, cps * n), data.dtype)],
+        grid_spec=grid_spec,
+        **(dict(input_output_aliases={3: 0}) if alias else {}),
+    )(wpos.reshape(-1).astype(I32), n_write.reshape(-1).astype(I32),
+      rpos.reshape(-1).astype(I32), data, values.astype(I32))
+
+
 def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
                   out_ref, scratch):
     i = pl.program_id(0)
