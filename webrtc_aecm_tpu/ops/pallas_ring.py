@@ -284,15 +284,21 @@ def _multi_pass_kernel(n: int, C: int, T: int, cps: int, wpos_ref, nw_ref,
                 scratch[s, :C] = row[0]
                 scratch[s, C:C + n] = row[0, :n]
 
-        # --- chunk c gathers (see writes 0..c) ---
+        # --- chunk c gathers (see writes 0..c).  The store is a FULL
+        # gstride-wide row at a 128-aligned offset: storing an n-wide
+        # slice at the unaligned offset c*n miscompiles (wrong lanes for
+        # every chunk c >= 1 — measured on v5e), the same family as the
+        # dynamic_rotate alignment traps above.  Lanes [n, gstride) carry
+        # rolled garbage; the wrapper slices them off outside. ---
+        gstride = (n + 127) // 128 * 128
         for s in range(T):
             r = rpos_ref[c * Btot + i * T + s]
             r1a = pl.multiple_of((r // 128) * 128, 128)
             d = r - r1a
             gwin = scratch[s, pl.ds(r1a, W)].reshape(1, W)
             rolled = pltpu.roll(gwin, jax.lax.rem(W - d, W), axis=1)
-            gath_ref[s, c * n:(c + 1) * n] = rolled[0, :n].astype(
-                gath_ref.dtype)
+            gath_ref[s, c * gstride:(c + 1) * gstride] = rolled[
+                0, :gstride].astype(gath_ref.dtype)
 
     out_ref[:, :] = scratch[:, :C].astype(out_ref.dtype)
 
@@ -307,6 +313,10 @@ def ring_multi_pass_tpu(data, wpos, values, n_write, rpos, n_read: int):
     cps = wpos.shape[0]
     n = values.shape[-1] // cps
     assert n == n_read, (n, n_read)
+    if cps == 1:
+        return ring_pass_tpu(data, wpos[0], values, n_write[0], rpos[0],
+                             n_read)
+    gstride = (n + 127) // 128 * 128   # aligned per-chunk gather stride
     T = int(os.environ.get("AECM_RING_PASS_TILE", "16"))
     if B % T != 0:
         T = STREAM_TILE
@@ -324,20 +334,23 @@ def ring_multi_pass_tpu(data, wpos, values, n_write, rpos, n_read: int):
         out_specs=[
             pl.BlockSpec((T, C), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, cps * n), lambda i, *_: (i, 0),
+            pl.BlockSpec((T, cps * gstride), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((T, _pass_width(C, n)), jnp.int32)],
     )
-    return pl.pallas_call(
+    new_data, gath_pad = pl.pallas_call(
         functools.partial(_multi_pass_kernel, n, C, T, cps),
         out_shape=[jax.ShapeDtypeStruct((B, C), data.dtype),
-                   jax.ShapeDtypeStruct((B, cps * n), data.dtype)],
+                   jax.ShapeDtypeStruct((B, cps * gstride), data.dtype)],
         grid_spec=grid_spec,
         **(dict(input_output_aliases={3: 0}) if alias else {}),
     )(wpos.reshape(-1).astype(I32), n_write.reshape(-1).astype(I32),
       rpos.reshape(-1).astype(I32), data, values.astype(I32))
+    gathered = gath_pad.reshape(B, cps, gstride)[:, :, :n].reshape(
+        B, cps * n)
+    return new_data, gathered
 
 
 def _write_kernel(n: int, C: int, pos_ref, nw_ref, data_ref, vals_ref,
